@@ -1,0 +1,329 @@
+"""Deterministic synthetic document corpus (no external data).
+
+Two tiers:
+  * ``fixture_documents()`` — the hand-crafted correctness corpus, one or
+    more docs per FIXTURES.md §2 class; golden outputs come from the pure
+    kernel oracle.
+  * ``synthesize_corpus(n_docs)`` — seeded scalable corpus for benchmarks:
+    template mix per FIXTURES.md §4 (≈70% prose/basic, 20% table-heavy,
+    9% media, 1% pathological), log-normal sizes with a heavy tail so the
+    salted-repartition/skew path is actually exercised.
+
+Both produce rows shaped per BASELINE.json ``input_hint``:
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`` where
+the raw pre-parse stream is a single ``text`` span holding the markdown plus
+``media`` spans for sidecar attachments.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, Iterator, List
+
+# --- hand-crafted fixture classes (FIXTURES.md §2) ---------------------------
+
+_SCIENTISTS_TABLE = """\
+CONTRIBUTING SCIENTISTS AND STUDY PERSONNEL
+
+| Pathology | Dr. Maria Chen |
+|---|---|
+| Clinical Assessment | Dr. James Wright |
+| Study Director | Dr. Priya Natarajan |
+| Data Review | Dr. Ahmed Karim |
+"""
+
+_EXPERIMENTAL_DESIGN = """\
+Table 2: Experimental Design
+
+| Group Number | Dose Level<br>(mg/kg) | Dose Volume (mL/kg) | Number of Animals |
+|---|---|---|---|
+| 1 | 0 | 10 | 12 |
+| 2 | 50 | 10 | 12 |
+| 3 | 150 | 10 | 12 |
+| 4 | 300 | 10 | 12 |
+"""
+
+_MULTIROW_HEADER = """\
+## Dosing Summary
+
+| Group | Dose | Concentration | Volume |
+|---|---|---|---|
+| Number | (mg/kg) | (mg/mL) | (mL/kg) |
+| 1 | 0 | 0 | 10 |
+| 2 | 50 | 5 | 10 |
+| 3 | 150 | 15 | 10 |
+"""
+
+_GROUPED_COLUMNS = """\
+4.2 Body Weights by Sex
+
+| Animal ID | Week 1 | Week 1 | Week 2 | Week 2 |
+|---|---|---|---|---|
+| Number | Males | Females | Males | Females |
+| 1001 | 25.3 | 21.2 | 26.1 | 21.9 |
+| 1002 | 24.8 | 20.9 | 25.7 | 21.4 |
+"""
+
+_SUPERSUB = """\
+Chemical notation exercises x¹ and H₂O and CO₂ markers.
+
+| Compound | Formula | Notes a, b |
+|---|---|---|
+| Water | H₂O | stable ¹ |
+| Glucose | C₆H₁₂O₆ | energy ² |
+"""
+
+_HTML_CELLS = """\
+| Parameter | Value |
+|---|---|
+| Schedule | Day 1<br>Day 8<br/>Day 15 |
+| Route | Oral<BR >gavage   dose |
+| Notes |    spaced    out    text |
+"""
+
+_MEDIA_INTERLEAVED = """\
+# Study Figures
+
+Intro paragraph before the first figure.
+
+![](fig_1.png)
+
+| Metric | Value |
+|---|---|
+| AUC | 123.4 |
+| Cmax | 56.7 |
+
+![alt text](fig_2.jpeg)
+
+Closing remarks after the second figure.
+"""
+
+_MERGED_CELLS = """\
+| Phase | Week | Observation |
+|---|---|---|
+| Dosing | 1 | Normal |
+|  | 2 | Normal |
+|  | 3 | Reduced activity |
+| Recovery | 4 | Normal |
+"""
+
+_NUMERIC_UNITS = """\
+| Item | Amount | Share | Cost | Dose | Code |
+|---|---|---|---|---|---|
+| alpha | 1,234 | 12% | $5.0 | 3 mg/kg | AB12CD34 |
+| beta | 7.5e3 | 0.5% | $1,200.00 | 0.5 mL | X9Y8Z7W6 |
+"""
+
+_BOILERPLATE = """\
+[Home](/home)
+
+Navigation footer line
+
+Actual study content paragraph one with findings.
+
+---
+
+| Key Result | Outcome |
+|---|---|
+| Survival | 100% |
+
+Navigation footer line
+
+More real prose in the middle of the page.
+
+Navigation footer line
+"""
+
+_TITLES_DOC = """\
+## Heading Title Table
+
+| A | B |
+|---|---|
+| 1 | 2 |
+
+Table 3: Labeled Caption
+
+| C | D |
+|---|---|
+| 3 | 4 |
+
+4.2 Numbered Section Title
+
+| E | F |
+|---|---|
+| 5 | 6 |
+
+UPPER CASE TITLE LINE
+
+| G | H |
+|---|---|
+| 7 | 8 |
+
+plain prose caption candidate
+
+![](skip_me.png)
+
+---
+
+| I | J |
+|---|---|
+| 9 | 10 |
+"""
+
+_RAGGED = """\
+| Col1 | Col2 | Col3 |
+|---|---|---|
+| a | b |
+| c | d | e | f |
+| g | h | i |
+"""
+
+_EMPTY_TABLE = """\
+Prose above an empty table.
+
+| OnlyHeader | Here |
+|---|---|
+
+Prose below it.
+"""
+
+_EDGE_TABLES = """\
+| AtLineZero | Table |
+|---|---|
+| v1 | v2 |
+
+Prose between tables. Data cells that contain | pipes inside prose stay prose.
+
+| Second | Table |
+|---|---|
+| -3 | --- |
+| x | y |
+"""
+
+_VERTICAL_CONTACT = """\
+STUDY SPONSOR CONTACT DETAILS
+
+| Name | Dr. A Very Long Name With Details That Exceed Fifty Characters Easily |
+|---|---|
+| Email | sponsor@example.org |
+| Phone: +1 555 0100 | front desk |
+"""
+
+_PLAIN_TEXT = """\
+A document with no tables and no media at all.
+
+Just two paragraphs of plain prose, which must come through
+as ordered text spans with stable offsets.
+"""
+
+FIXTURE_CLASSES: Dict[str, str] = {
+    "md-vertical-kv": _SCIENTISTS_TABLE,
+    "md-basic-table": _EXPERIMENTAL_DESIGN,
+    "md-multirow-header": _MULTIROW_HEADER,
+    "md-grouped-columns": _GROUPED_COLUMNS,
+    "md-supersub": _SUPERSUB,
+    "html-cells": _HTML_CELLS,
+    "md-media-interleaved": _MEDIA_INTERLEAVED,
+    "md-merged-cells": _MERGED_CELLS,
+    "md-numeric-units": _NUMERIC_UNITS,
+    "md-boilerplate": _BOILERPLATE,
+    "md-titles": _TITLES_DOC,
+    "md-ragged-rows": _RAGGED,
+    "md-empty-table": _EMPTY_TABLE,
+    "md-multi-table": _EDGE_TABLES,
+    "md-vertical-longheader": _VERTICAL_CONTACT,
+    "plain-text": _PLAIN_TEXT,
+}
+
+
+def fixture_documents() -> List[Dict[str, Any]]:
+    """The correctness corpus: one doc per class plus a composite doc and a
+    pathological (skew) doc.  Fully deterministic, no RNG."""
+    docs = [
+        {"doc_id": f"fx-{name}", "text": text} for name, text in FIXTURE_CLASSES.items()
+    ]
+    docs.append(
+        {"doc_id": "fx-composite", "text": "\n".join(FIXTURE_CLASSES.values())}
+    )
+    # md-pathological: far above median size, 120 tables + long prose runs.
+    chunks = []
+    for k in range(120):
+        chunks.append(f"Section {k} narrative line with enough length to be prose.")
+        chunks.append("")
+        chunks.append(f"Table {k + 1}: Pathological block {k}")
+        chunks.append("")
+        chunks.append("| Key | Value | Extra |")
+        chunks.append("|---|---|---|")
+        for r in range(25):
+            chunks.append(f"| item-{k}-{r} | {r * k} | note {r} |")
+        chunks.append("")
+    docs.append({"doc_id": "fx-pathological", "text": "\n".join(chunks)})
+    return docs
+
+
+# --- scalable seeded corpus ---------------------------------------------------
+
+_PROSE_WORDS = (
+    "study dose group animal result observed baseline signal recovery control "
+    "sample marker protocol summary finding exposure cohort outcome measure"
+).split()
+
+
+def _prose(rng: random.Random, n_words: int) -> str:
+    return " ".join(rng.choice(_PROSE_WORDS) for _ in range(n_words))
+
+
+def _random_table(rng: random.Random, rows: int, cols: int) -> str:
+    head = "| " + " | ".join(f"Col{c} Name" for c in range(cols)) + " |"
+    sep = "|" + "---|" * cols
+    body = [
+        "| " + " | ".join(str(rng.randint(0, 9999)) for _ in range(cols)) + " |"
+        for _ in range(rows)
+    ]
+    return "\n".join([head, sep, *body])
+
+
+def synthesize_corpus(n_docs: int, seed: int = 42) -> Iterator[Dict[str, Any]]:
+    """Seeded bench corpus with the FIXTURES.md §4 class mix and a heavy size
+    tail.  Yields ``{"doc_id", "text"}`` rows; deterministic for a given
+    (n_docs, seed) regardless of partitioning."""
+    for i in range(n_docs):
+        # Per-doc RNG keyed by (seed, i): deterministic under any parallel split.
+        rng = random.Random((seed << 20) ^ i)
+        roll = rng.random()
+        parts: List[str] = []
+        if roll < 0.70:  # prose + one basic table
+            parts.append(_prose(rng, rng.randint(30, 160)))
+            if rng.random() < 0.6:
+                parts.append(_random_table(rng, rng.randint(2, 8), rng.randint(2, 5)))
+            parts.append(_prose(rng, rng.randint(20, 80)))
+        elif roll < 0.90:  # table-heavy
+            for _ in range(rng.randint(3, 10)):
+                parts.append(f"Table {rng.randint(1, 30)}: generated block")
+                parts.append(_random_table(rng, rng.randint(3, 15), rng.randint(2, 6)))
+                parts.append(_prose(rng, rng.randint(5, 30)))
+        elif roll < 0.99:  # media-rich
+            for m in range(rng.randint(2, 6)):
+                parts.append(_prose(rng, rng.randint(10, 50)))
+                parts.append(f"![](fig_{i}_{m}.png)")
+        else:  # pathological heavy tail
+            for k in range(rng.randint(40, 120)):
+                parts.append(_prose(rng, rng.randint(40, 120)))
+                parts.append(_random_table(rng, rng.randint(10, 40), rng.randint(3, 8)))
+        yield {"doc_id": f"doc-{i:09d}", "text": "\n\n".join(parts)}
+
+
+def to_input_rows(docs) -> List[Dict[str, Any]]:
+    """Shape docs per input_hint: one raw ``text`` span with the markdown at
+    offset 0, plus a ``media`` span per distinct ``![](ref)`` attachment."""
+    import re as _re
+
+    rows = []
+    for d in docs:
+        spans = [{"kind": "text", "text": d["text"], "media_ref": None, "offset": 0}]
+        for k, ref in enumerate(
+            dict.fromkeys(_re.findall(r"!\[[^\]]*\]\(([^)]+)\)", d["text"]))
+        ):
+            spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k + 1})
+        rows.append({"doc_id": d["doc_id"], "spans": spans})
+    return rows
