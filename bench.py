@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default (driver contract): run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+--scaling: additionally run the extraction job at local[8] and local[32]
+(N vs 4N cores — this sandbox's proxy for N vs 4N executors) in separate
+subprocesses (clean JVM per master) and report throughput at both plus
+scaling efficiency  eff = T_N / (4 · T_4N)  =  thr_4N / (4 · thr_N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: synthetic extraction corpus size per unit scale factor
+DOCS_PER_SF = 200_000
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def extraction_docs(sf: float) -> int:
+    return max(200, int(DOCS_PER_SF * sf))
+
+
+def corpus_path(spark, n_docs: int) -> str:
+    """Materialize the seeded corpus once per size (cached parquet) so the
+    measured pipeline is scan→assemble→parse, not Python corpus generation."""
+    from document_parser_spark.sources.data import synthetic_input_df
+
+    path = os.path.join(REPO, ".bench_data", f"corpus_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthetic_input_df(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_extraction(spark, n_docs: int) -> dict:
+    """Parse the seeded synthetic corpus end-to-end; returns docs/sec."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators.extract import parse_documents
+    from document_parser_spark.plans.partitioning import salted_repartition
+    from document_parser_spark.operators.extract import assemble_document_text
+    from document_parser_spark.schemas import DOCUMENTS_INPUT
+
+    cpus = spark.sparkContext.defaultParallelism
+    df = spark.read.schema(DOCUMENTS_INPUT).parquet(corpus_path(spark, n_docs))
+    assembled = assemble_document_text(df)
+    parsed = parse_documents(salted_repartition(assembled, cpus * 2))
+    t0 = time.monotonic()
+    agg = parsed.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(F.size("tables")).alias("tables"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+    ).first()
+    wall = time.monotonic() - t0
+    assert agg["errors"] == 0, f"parse errors: {agg['errors']}"
+    return {
+        "wall_sec": wall,
+        "docs": agg["docs"],
+        "spans": agg["spans"],
+        "tables": agg["tables"],
+        "docs_per_sec": agg["docs"] / wall,
+    }
+
+
+QUERY_NAMES = [
+    # extraction+search over the corpus (the flagship path)
+    "search_key_value_pathology",
+    # predicates / joins / aggs / windows
+    "filter_modes",
+    "tpch_q1",
+    "key_value_join",
+    "semi_join_rows",
+    "topk_per_group",
+    "sessionize_events",
+    # training-data ops
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_docs",
+    "token_stats",
+    "language_id",
+    "fingerprints",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        # Force full execution without driver materialization of wide rows.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    # similarity on the fast native path (the exact variant is the oracle twin)
+    from document_parser_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+    from document_parser_spark.sources.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    for name, fn in [("ann_brute_force", brute_force_topk), ("ann_lsh", lsh_bucketed_topk)]:
+        t0 = time.monotonic()
+        fn(emb, q, k=10).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_once(cpus: int, sf_dir: str, extract_only: bool = False) -> dict:
+    from document_parser_spark.sources.session import get_spark
+
+    spark = get_spark(app_name=f"bench[{cpus}]", cpus=cpus)
+    sf = sf_of(sf_dir)
+    result: dict = {"sf": sf, "cpus": cpus}
+    ext = run_extraction(spark, extraction_docs(sf))
+    result["extract"] = ext
+    if not extract_only:
+        result["queries"] = run_queries(spark, sf_dir)
+    spark.stop()
+    return result
+
+
+def scaling_study(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Same job, same input, two parallelism levels, separate JVMs."""
+    out = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
+             "--extract-only", "--internal-json"],
+            capture_output=True, text=True, check=True,
+        )
+        out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_low = out[low]["extract"]["docs_per_sec"]
+    thr_high = out[high]["extract"]["docs_per_sec"]
+    return {
+        "cores_low": low,
+        "cores_high": high,
+        "docs_per_sec_low": round(thr_low, 1),
+        "docs_per_sec_high": round(thr_high, 1),
+        "speedup": round(thr_high / thr_low, 3),
+        "scaling_efficiency": round(thr_high / (thr_low * (high / low)), 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--internal-json", action="store_true")
+    args = ap.parse_args()
+
+    result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only)
+    if args.internal_json:
+        print(json.dumps(result))
+        return
+
+    queries = dict(result.get("queries", {}))
+    queries["extract_pipeline"] = round(result["extract"]["wall_sec"], 3)
+    payload = {
+        "metric": "total_bench_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "extract_docs_per_sec": round(result["extract"]["docs_per_sec"], 1),
+        "extract_docs": result["extract"]["docs"],
+        "extract_spans": result["extract"]["spans"],
+    }
+    if args.scaling:
+        payload["scaling"] = scaling_study(args.sf_dir)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

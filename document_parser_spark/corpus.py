@@ -283,34 +283,40 @@ def _random_table(rng: random.Random, rows: int, cols: int) -> str:
     return "\n".join([head, sep, *body])
 
 
+def synthesize_doc(i: int, seed: int = 42) -> Dict[str, Any]:
+    """One deterministic synthetic document keyed by (seed, i) — safe to call
+    from any executor for any index split (the per-doc RNG never leaks state
+    across indices)."""
+    rng = random.Random((seed << 20) ^ i)
+    roll = rng.random()
+    parts: List[str] = []
+    if roll < 0.70:  # prose + one basic table
+        parts.append(_prose(rng, rng.randint(30, 160)))
+        if rng.random() < 0.6:
+            parts.append(_random_table(rng, rng.randint(2, 8), rng.randint(2, 5)))
+        parts.append(_prose(rng, rng.randint(20, 80)))
+    elif roll < 0.90:  # table-heavy
+        for _ in range(rng.randint(3, 10)):
+            parts.append(f"Table {rng.randint(1, 30)}: generated block")
+            parts.append(_random_table(rng, rng.randint(3, 15), rng.randint(2, 6)))
+            parts.append(_prose(rng, rng.randint(5, 30)))
+    elif roll < 0.99:  # media-rich
+        for m in range(rng.randint(2, 6)):
+            parts.append(_prose(rng, rng.randint(10, 50)))
+            parts.append(f"![](fig_{i}_{m}.png)")
+    else:  # pathological heavy tail
+        for k in range(rng.randint(40, 120)):
+            parts.append(_prose(rng, rng.randint(40, 120)))
+            parts.append(_random_table(rng, rng.randint(10, 40), rng.randint(3, 8)))
+    return {"doc_id": f"doc-{i:09d}", "text": "\n\n".join(parts)}
+
+
 def synthesize_corpus(n_docs: int, seed: int = 42) -> Iterator[Dict[str, Any]]:
     """Seeded bench corpus with the FIXTURES.md §4 class mix and a heavy size
     tail.  Yields ``{"doc_id", "text"}`` rows; deterministic for a given
     (n_docs, seed) regardless of partitioning."""
     for i in range(n_docs):
-        # Per-doc RNG keyed by (seed, i): deterministic under any parallel split.
-        rng = random.Random((seed << 20) ^ i)
-        roll = rng.random()
-        parts: List[str] = []
-        if roll < 0.70:  # prose + one basic table
-            parts.append(_prose(rng, rng.randint(30, 160)))
-            if rng.random() < 0.6:
-                parts.append(_random_table(rng, rng.randint(2, 8), rng.randint(2, 5)))
-            parts.append(_prose(rng, rng.randint(20, 80)))
-        elif roll < 0.90:  # table-heavy
-            for _ in range(rng.randint(3, 10)):
-                parts.append(f"Table {rng.randint(1, 30)}: generated block")
-                parts.append(_random_table(rng, rng.randint(3, 15), rng.randint(2, 6)))
-                parts.append(_prose(rng, rng.randint(5, 30)))
-        elif roll < 0.99:  # media-rich
-            for m in range(rng.randint(2, 6)):
-                parts.append(_prose(rng, rng.randint(10, 50)))
-                parts.append(f"![](fig_{i}_{m}.png)")
-        else:  # pathological heavy tail
-            for k in range(rng.randint(40, 120)):
-                parts.append(_prose(rng, rng.randint(40, 120)))
-                parts.append(_random_table(rng, rng.randint(10, 40), rng.randint(3, 8)))
-        yield {"doc_id": f"doc-{i:09d}", "text": "\n\n".join(parts)}
+        yield synthesize_doc(i, seed)
 
 
 def to_input_rows(docs) -> List[Dict[str, Any]]:

@@ -1,0 +1,126 @@
+"""Text-analysis operators over a flat documents table
+(doc_id, text, …) — the training-data-pipeline layer: token counting,
+quality scoring, language ID, fingerprinting.
+
+All pure Column algebra (whole-stage codegen; no Python in the hot path).
+Counts and ratios are emitted as exact integers wherever possible so the
+DuckDB oracle comparison is hash-stable; ratios derived from them are
+double divisions of identical integers (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Frozen stopword lists for the n-gram/stopword language heuristic.  These are
+# deliberately tiny — the heuristic's value is its shape (per-language hit
+# counting + deterministic argmax), not lexical coverage.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "des", "est", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"),
+}
+
+_WORD_SPLIT = r"\s+"
+#: BPE-ish tokenizer regex: word pieces, numbers, or single non-space symbols.
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace word split with empty-string guard (split of '' yields [''])."""
+    return F.filter(F.split(F.trim(col), _WORD_SPLIT), lambda w: w != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts, char count, mean word length ×100
+    as exact integer arithmetic."""
+    t = F.col(text_col)
+    w = words(t)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_exact"),
+        F.size(w).alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_ISH_TOKEN)).alias("n_tokens_bpeish"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "sum_word_len"
+        ),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit signals per document.
+
+    Counts are exact longs; `quality_ok` is the boolean headline gate a
+    training pipeline would filter on."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS["en"])))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_chars = F.length(t)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_exact"),
+        n_words.alias("n_words"),
+        stop_hits.alias("stopword_hits"),
+        n_punct.alias("punct_chars"),
+        n_digits.alias("digit_chars"),
+        (
+            (n_words >= 5)
+            & (n_chars >= 20)
+            & (n_punct * 2 < F.greatest(n_chars, F.lit(1)))
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic with deterministic argmax
+    (max hits; ties broken by language code DESCENDING — struct max compares
+    (hits, lang) field-by-field; 'und' when no hits).  The SQL mirror is
+    ``ORDER BY hits DESC, lang DESC LIMIT 1`` per doc."""
+    w = words(F.lower(F.col(text_col)))
+
+    def lang_hits(lang: str) -> Column:
+        stop = STOPWORDS[lang]
+        return F.struct(
+            F.size(F.filter(w, lambda x: x.isin(*stop))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+
+    scored = F.array(*[lang_hits(lang) for lang in sorted(STOPWORDS)])
+    best = F.array_max(scored)
+    return df.select(
+        "doc_id",
+        F.when(best.hits > 0, best.lang).otherwise(F.lit("und")).alias("lang_pred"),
+        best.hits.alias("lang_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", shingle_words: int = 3) -> DataFrame:
+    """Document fingerprints: full-text md5 plus a rolling min-hash over word
+    shingles (the winnowing-style representative hash)."""
+    t = F.col(text_col)
+    sh = word_shingles(t, shingle_words)
+    return df.select(
+        "doc_id",
+        F.md5(t).alias("md5_full"),
+        F.substring(F.md5(t), 1, 8).alias("fp8"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Consecutive k-word shingles joined by a single space (empty array when
+    the doc has fewer than k words)."""
+    w = words(col)
+    n = F.size(w)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        )
+    )
