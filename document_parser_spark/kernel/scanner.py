@@ -128,21 +128,39 @@ def find_table_title(lines: List[str], table_start: int) -> Tuple[str, Optional[
     return best[2], best[3]
 
 
-def scan_markdown(markdown: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
+def repeated_boilerplate_lines(stripped_lines: List[str]) -> frozenset:
+    """The doc-global H9 pre-pass: short non-table lines occurring ≥3×.
+    Factored out so the segmentation protocol (plans/segmentation.py) can
+    compute it over the WHOLE document and hand it to per-segment scans."""
+    freq = Counter(
+        s
+        for s in stripped_lines
+        if s and not is_table_row(s) and len(s) <= _REPEAT_MAX_LEN
+    )
+    return frozenset(s for s, n in freq.items() if n >= _REPEAT_MIN)
+
+
+def scan_markdown(
+    markdown: str,
+    repeated_lines: Optional[frozenset] = None,
+    offset_base: int = 0,
+) -> Tuple[List[Span], List[Dict[str, Any]]]:
     """One walk over a (already script-normalized) markdown string.
 
     Returns ``(spans, raw_tables)`` where raw_tables carry
     ``{headers, rows, title, line_start, line_end}`` exactly as the
     reference's ``parse_markdown_tables_with_context``
     (use_marker_converter.py:66-112), and spans are the interleaved stream.
+
+    ``repeated_lines``/``offset_base`` support segmented parsing of oversize
+    documents: the repeated-line set is doc-global while the scan runs on one
+    segment, and all emitted offsets/line numbers shift by ``offset_base``.
     """
     lines = markdown.splitlines()
     stripped = [ln.strip() for ln in lines]
 
-    # H9 repeated-line boilerplate needs a doc-global frequency pre-pass.
-    freq = Counter(
-        s for s in stripped if s and not is_table_row(s) and len(s) <= _REPEAT_MAX_LEN
-    )
+    if repeated_lines is None:
+        repeated_lines = repeated_boilerplate_lines(stripped)
 
     spans: List[Span] = []
     tables: List[Dict[str, Any]] = []
@@ -163,8 +181,8 @@ def scan_markdown(markdown: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
                 parsed = parse_table_block(block)
                 if parsed and parsed["rows"]:
                     parsed["title"] = title
-                    parsed["line_start"] = i
-                    parsed["line_end"] = j - 1
+                    parsed["line_start"] = offset_base + i
+                    parsed["line_end"] = offset_base + j - 1
                     tables.append(parsed)
                     if title_idx is not None:
                         pos = caption_slots.get(title_idx)
@@ -172,7 +190,7 @@ def scan_markdown(markdown: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
                             spans[pos]["kind"] = "caption"
                 # A table block is ONE span; text = canonical normalized block.
                 spans.append(
-                    {"kind": "table", "text": "\n".join(block), "media_ref": None, "offset": i}
+                    {"kind": "table", "text": "\n".join(block), "media_ref": None, "offset": offset_base + i}
                 )
                 i = j
                 continue
@@ -184,23 +202,29 @@ def scan_markdown(markdown: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
 
         media = _MEDIA_RX.match(line)
         if media:
-            spans.append({"kind": "media", "text": "", "media_ref": media.group(1), "offset": i})
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": media.group(1), "offset": offset_base + i}
+            )
             i += 1
             continue
 
         heading = _HEADING_RX.match(line)
         if heading:
-            spans.append({"kind": "heading", "text": line, "media_ref": None, "offset": i})
+            spans.append(
+                {"kind": "heading", "text": line, "media_ref": None, "offset": offset_base + i}
+            )
             i += 1
             continue
 
-        if _RULE_RX.match(line) or _NAV_LINK_RX.match(line) or freq[line] >= _REPEAT_MIN:
-            spans.append({"kind": "boilerplate", "text": line, "media_ref": None, "offset": i})
+        if _RULE_RX.match(line) or _NAV_LINK_RX.match(line) or line in repeated_lines:
+            spans.append(
+                {"kind": "boilerplate", "text": line, "media_ref": None, "offset": offset_base + i}
+            )
             i += 1
             continue
 
         caption_slots[i] = len(spans)
-        spans.append({"kind": "text", "text": line, "media_ref": None, "offset": i})
+        spans.append({"kind": "text", "text": line, "media_ref": None, "offset": offset_base + i})
         i += 1
 
     return spans, tables

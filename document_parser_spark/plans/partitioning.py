@@ -33,7 +33,7 @@ def salted_repartition(
     ``salt_buckets`` (≥8× partitions so bucket→partition collisions even
     out), oversize docs keyed individually by doc_id."""
     if salt_buckets is None:
-        salt_buckets = num_partitions * 8
+        salt_buckets = num_partitions * 32
     key = F.when(
         F.col(size_col) > F.lit(oversize_chars),
         F.concat(F.lit("big:"), F.col("doc_id")),

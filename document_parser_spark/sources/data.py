@@ -50,6 +50,19 @@ def synthetic_input_df(
     return lift_flat_to_input(flat)
 
 
+def markdown_files_df(spark: SparkSession, path: str) -> DataFrame:
+    """S5: a directory of markdown files as (doc_id=file name, text) —
+    ``spark.read.text(wholetext)`` keeps one file per row
+    (convert_table.py:153-162 reads one file on the driver)."""
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
 def flat_documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's flat documents table with a string doc_id."""
     return load_table(spark, sf_dir, "documents").withColumn(

@@ -12,9 +12,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Rows per Arrow batch entering the parse UDF.  Documents average ~KBs but
-#: the tail is ~MBs; 256 rows keeps worst-case batches < ~1 GiB.
-ARROW_BATCH_ROWS = 256
+#: Rows per Arrow batch entering the parse UDF.  Measured: 256 serializes the
+#: pipeline on IPC round-trips at high core counts; 2048 amortizes them while
+#: expected batch bytes stay ~MBs (oversize docs are routed to segmentation
+#: before they can blow a batch up).
+ARROW_BATCH_ROWS = 2048
 
 
 def get_spark(
