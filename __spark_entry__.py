@@ -251,8 +251,11 @@ def _q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,6)")
     disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    # epoch-seconds comparison: stable whatever the session timezone is
+    # (a string-literal timestamp would parse in session tz and shift the
+    # boundary vs DuckDB's UTC-naive values).  904694400 = 1998-09-02T00:00Z.
     out = (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        li.filter(F.unix_timestamp("l_shipdate") <= 904694400)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -276,7 +279,7 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+WHERE epoch(l_shipdate) <= 904694400
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -706,6 +709,176 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+# ---- set operations (oracled) ------------------------------------------------
+
+def _q_anti_join(spark, sf_dir):
+    """Left-anti: customers that placed no orders (SURVEY.md §2.9)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def _q_union_distinct(spark, sf_dir):
+    """Distinct union of customer-nation and supplier-nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+_SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def _q_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus) with decimal-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_running_sum(spark, sf_dir):
+    """Cumulative per-customer spend (running-sum window, decimal-exact)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("run_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def _q_simhash_near(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_near_pairs(dedup.simhash(d), max_hamming=1)
+
+
+_SQL_SIMHASH_NEAR = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+wc AS (SELECT doc_id, u.w, count(*) AS cnt FROM w, unnest(ws) AS u(w) GROUP BY doc_id, u.w),
+wh AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h FROM wc),
+pb AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wh, unnest(generate_series(0, 15)) AS g(bit) GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM pb GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS chunk_val
+  FROM sim, unnest(generate_series(0, 1)) AS c(chunk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---- rows-only engine demos ---------------------------------------------------
+
+def _q_ann_lsh(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(e, threshold=0.8)
+
+
+def _q_media_features(spark, sf_dir):
+    from document_parser_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media_for,
+    )
+
+    return extract_media_features(synthetic_media_for(_extraction_corpus(spark, sf_dir)))
+
+
+def _q_merged_cell_spans(spark, sf_dir):
+    """H7/P6: merged-cell rectangular spans inferred from every extracted
+    table span (sink-dialect parse), exercised engine-side."""
+    import pandas as pd
+    from typing import Iterator
+
+    from document_parser_spark.kernel.pipeline import parse_table_sink_dialect
+
+    parsed = _parsed(spark, sf_dir)
+    table_spans = parsed.select(
+        "doc_id", F.explode(F.filter("spans", lambda s: s.kind == F.lit("table"))).alias("s")
+    ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("block"))
+
+    schema = (
+        "doc_id string, offset int, owner_row int, owner_col int, "
+        "min_row int, max_row int, min_col int, max_col int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sink = parse_table_sink_dialect(r.block)
+                for span in (sink or {}).get("merged_spans", []):
+                    rows.append({"doc_id": r.doc_id, "offset": r.offset, **span})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "owner_row", "owner_col",
+                         "min_row", "max_row", "min_col", "max_col"],
+            )
+
+    return table_spans.mapInPandas(op, schema=schema).orderBy("doc_id", "offset", "owner_row", "owner_col")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -736,6 +909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "sessionize_events": _q_sessionize,
         "forward_fill": _q_forward_fill,
+        "running_sum": _q_running_sum,
+        # set operations
+        "anti_join": _q_anti_join,
+        "union_distinct": _q_union_distinct,
+        "rollup_agg": _q_rollup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -746,8 +924,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
+        # dedup (near-pair variants)
+        "simhash_near_pairs": _q_simhash_near,
+        "embedding_near_dup": _q_embedding_near_dup,
         # similarity
         "embedding_topk": _q_embedding_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        # multimodal / sink-side structure
+        "media_features": _q_media_features,
+        "merged_cell_spans": _q_merged_cell_spans,
     }
 
 
@@ -767,6 +952,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "sessionize_events": _SQL_SESSIONIZE,
         "forward_fill": _SQL_FORWARD_FILL,
+        "running_sum": _SQL_RUNNING_SUM,
+        "anti_join": _SQL_ANTI_JOIN,
+        "union_distinct": _SQL_UNION_DISTINCT,
+        "rollup_agg": _SQL_ROLLUP,
+        "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _SQL_MINHASH_PAIRS,
         "simhash_docs": _SQL_SIMHASH,

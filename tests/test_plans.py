@@ -1,0 +1,117 @@
+"""Physical-plan quality gates (the 100-TB checklist): filters push to the
+parquet scan, column pruning reaches ReadSchema, small sides broadcast,
+aggregation is partial+final, top-k compiles to TakeOrderedAndProject, and
+nothing Python runs before the parse UDF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from document_parser_spark.operators import search
+from document_parser_spark.operators.extract import (
+    assemble_document_text,
+    cells_output,
+    parse_documents,
+    tables_output,
+)
+from document_parser_spark.sources.data import fixture_input_df
+from document_parser_spark.sources.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = formatted(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    q = entrymod.queries()["filter_modes"](spark, SF)
+    plan = formatted(q)
+    # only the two referenced columns are read, not the whole part table
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "p_partkey" in read and "p_name" in read
+    assert "p_retailprice" not in read and "p_brand" not in read
+
+
+def test_tpch_q1_partial_final_agg(spark):
+    plan = plan_of(entrymod.queries()["tpch_q1"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+ orderBy range)
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(entrymod.queries()["dim_rollup"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_shape(spark):
+    plan = plan_of(entrymod.queries()["semi_join_rows"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_search_key_value_broadcasts_matched_keys(spark):
+    parsed = parse_documents(assemble_document_text(fixture_input_df(spark)))
+    cells = cells_output(tables_output(parsed))
+    plan = plan_of(search.search_by_key_value(cells, "Pathology"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_search_anywhere_topk_is_take_ordered(spark):
+    parsed = parse_documents(assemble_document_text(fixture_input_df(spark)))
+    cells = cells_output(tables_output(parsed))
+    plan = plan_of(search.search_anywhere(cells, "mg/kg", max_results=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_before_parse_udf(spark):
+    """Everything upstream of the parse stage is native Column algebra —
+    the UDF is the only Python in the pipeline (SURVEY.md §4.3)."""
+    df = assemble_document_text(fixture_input_df(spark))
+    plan = plan_of(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, marker
+
+
+def test_prefilter_reaches_scan_before_udf(spark, tmp_path):
+    """Row-level filters must run BEFORE the opaque UDF: a doc_id filter on
+    the parse pipeline is pushed into the parquet scan, so the UDF never
+    sees filtered-out documents."""
+    path = str(tmp_path / "docs")
+    fixture_input_df(spark).write.parquet(path)
+    from document_parser_spark.schemas import DOCUMENTS_INPUT
+
+    df = spark.read.schema(DOCUMENTS_INPUT).parquet(path)
+    q = parse_documents(
+        assemble_document_text(df.filter(F.col("doc_id") == "fx-plain-text"))
+    )
+    plan = formatted(q)
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,fx-plain-text)]" in plan, plan
+
+
+def test_fuzzy_filter_stays_codegen(spark):
+    """F2 fuzzy scoring is built-in levenshtein — whole-stage codegen, no
+    Python stage."""
+    q = entrymod.queries()["fuzzy_pairs"](spark, SF)
+    q.collect()  # AQE: codegen nodes appear in the final executed plan
+    plan = plan_of(q)
+    assert "EvalPython" not in plan
+    # "*(n)" node prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
