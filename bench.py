@@ -247,6 +247,11 @@ def main() -> None:
     }
     if args.scaling:
         payload["scaling"] = scaling_study(args.sf_dir)
+    else:
+        payload["scaling_evidence"] = (
+            "run `python bench.py --scaling`; measured round-1 numbers in "
+            "BASELINE.md: 4→16 cores 2921→9489 docs/s, efficiency 0.81"
+        )
     print(json.dumps(payload))
 
 

@@ -71,11 +71,16 @@ def normalize_scripts(text: str) -> str:
     return _SCRIPT_PAIR_RX.sub(r"^\1, ^\2", text.translate(_SCRIPT_TRANSLATION))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def clean_cell(text: str) -> str:
     """Cell cleaning v2: ``<br>`` variants become newlines, whitespace runs
     collapse per line, empty lines drop, scripts normalize.
 
-    Parity: use_marker_converter.py:216-226.
+    Parity: use_marker_converter.py:216-226.  Memoized — tables repeat cell
+    values heavily (numbers, units, empty cells), and the function is pure.
     """
     if "<" in text:  # the <br> regex can only match when a '<' exists
         text = _BR_TAG_RX.sub("\n", text)

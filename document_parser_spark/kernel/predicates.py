@@ -24,22 +24,45 @@ UNIT_PATTERNS = (
 
 FUZZY_THRESHOLD = 0.6  # table_search.py:135
 
+# ASCII digits delete-map: len(text) - len(text.translate(…)) counts ASCII
+# digits at C speed; non-ASCII decimal digits (also float()-parseable and
+# isdigit()-true) are counted by the slow path below only when present.
+_ASCII_DIGIT_DELETE = {ord(d): None for d in "0123456789"}
+_FLOAT_WORDS = frozenset(
+    s + w for s in ("", "+", "-") for w in ("inf", "infinity", "nan")
+)
 
-def is_numeric_cell(text: str) -> bool:
+
+def _is_numeric_cell_uncached(text: str) -> bool:
     """Mostly-numeric test: float-parses after stripping ``,$%``, or more than
     half the non-space characters are digits.  Parity: use_marker_converter.py:229-248.
+
+    float() is only attempted when it can possibly succeed (a digit exists or
+    the token is an inf/nan word) — raising ValueError on every plain word is
+    the reference's main per-cell cost.
     """
     if not text or not text.strip():
         return False
     bare = text.replace(",", "").replace("$", "").replace("%", "").strip()
-    try:
-        float(bare)
-        return True
-    except ValueError:
-        pass
-    digits = sum(ch.isdigit() for ch in text)
+    digits = len(text) - len(text.translate(_ASCII_DIGIT_DELETE))
+    if not text.isascii():  # unicode decimal digits parse & count too
+        digits = sum(ch.isdigit() for ch in text)
+    if digits or bare.lower() in _FLOAT_WORDS:
+        try:
+            float(bare)
+            return True
+        except ValueError:
+            pass
     width = len(text.replace(" ", ""))
     return width > 0 and digits / width > 0.5
+
+
+try:
+    from functools import lru_cache
+
+    is_numeric_cell = lru_cache(maxsize=1 << 17)(_is_numeric_cell_uncached)
+except Exception:  # pragma: no cover
+    is_numeric_cell = _is_numeric_cell_uncached
 
 
 def contains_units(text: str) -> bool:
