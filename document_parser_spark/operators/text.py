@@ -101,15 +101,26 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprints(df: DataFrame, text_col: str = "text", shingle_words: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 plus a rolling min-hash over word
-    shingles (the winnowing-style representative hash)."""
+    shingles (the winnowing-style representative hash).
+
+    Explode + partial-aggregated groupBy instead of array expressions: the
+    shingle array is materialized once (array exprs re-evaluate per consumer),
+    and the min/count combine map-side — the 100 TB-friendly shape."""
     t = F.col(text_col)
-    sh = word_shingles(t, shingle_words)
-    return df.select(
+    exploded = df.select(
         "doc_id",
         F.md5(t).alias("md5_full"),
-        F.substring(F.md5(t), 1, 8).alias("fp8"),
-        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
-        F.size(sh).alias("n_shingles"),
+        F.explode_outer(word_shingles(t, shingle_words)).alias("shingle"),
+    )
+    return exploded.groupBy("doc_id", "md5_full").agg(
+        F.min(F.md5("shingle")).alias("min_shingle_md5"),
+        F.count("shingle").cast("int").alias("n_shingles"),
+    ).select(
+        "doc_id",
+        "md5_full",
+        F.substring("md5_full", 1, 8).alias("fp8"),
+        "min_shingle_md5",
+        "n_shingles",
     )
 
 
