@@ -824,6 +824,40 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: each event matched to the user's latest at-or-before
+    high-value event (build side deduped to one row per (user, ts) so the
+    match is well-defined — any as-of engine is otherwise nondeterministic)."""
+    from document_parser_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    build = (
+        e.filter(F.col("value") > 90)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("mark_id"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        build,
+        keys=["user_id"],
+        ts="ts",
+        payload_cols=["mark_id"],
+    )
+    return out.select("event_id", "user_id", "asof_mark_id").orderBy("event_id")
+
+
+_SQL_ASOF_JOIN = """
+WITH build AS (
+  SELECT user_id, ts, max(event_id) AS mark_id
+  FROM events WHERE value > 90 GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, b.mark_id AS asof_mark_id
+FROM events e
+ASOF LEFT JOIN build b ON e.user_id = b.user_id AND e.ts >= b.ts
+ORDER BY e.event_id
+"""
+
+
 # ---- rows-only engine demos ---------------------------------------------------
 
 def _q_ann_lsh(spark, sf_dir):
@@ -905,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_value_join": _q_key_value_join,
         "semi_join_rows": _q_semi_join_rows,
         "dim_rollup": _q_dim_rollup,
+        "asof_join": _q_asof_join,
         # W-family windows
         "topk_per_group": _q_topk_per_group,
         "sessionize_events": _q_sessionize,
@@ -949,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "key_value_join": _SQL_KEY_VALUE_JOIN,
         "semi_join_rows": _SQL_SEMI_JOIN,
         "dim_rollup": _SQL_DIM_ROLLUP,
+        "asof_join": _SQL_ASOF_JOIN,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "sessionize_events": _SQL_SESSIONIZE,
         "forward_fill": _SQL_FORWARD_FILL,
