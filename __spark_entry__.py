@@ -164,7 +164,7 @@ def _q_fuzzy_pairs(spark, sf_dir):
         .select(
             "key_a",
             "key_b",
-            lev.alias("lev"),
+            lev.cast("long").alias("lev"),
             F.floor(F.lit(1e6) * (F.lit(1.0) - lev / max_len)).alias("sim_e6"),
         )
         .orderBy("key_a", "key_b")
@@ -415,7 +415,7 @@ def _q_topk_per_group(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "rnk", "o_orderkey")
         .orderBy("o_custkey", "rnk")

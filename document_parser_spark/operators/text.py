@@ -40,9 +40,9 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     w = words(t)
     return df.select(
         "doc_id",
-        F.length(t).alias("n_chars_exact"),
-        F.size(w).alias("n_words"),
-        F.regexp_count(t, F.lit(BPE_ISH_TOKEN)).alias("n_tokens_bpeish"),
+        F.length(t).cast("long").alias("n_chars_exact"),
+        F.size(w).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_ISH_TOKEN)).cast("long").alias("n_tokens_bpeish"),
         F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
             "sum_word_len"
         ),
@@ -63,11 +63,11 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars_exact"),
-        n_words.alias("n_words"),
-        stop_hits.alias("stopword_hits"),
-        n_punct.alias("punct_chars"),
-        n_digits.alias("digit_chars"),
+        n_chars.cast("long").alias("n_chars_exact"),
+        n_words.cast("long").alias("n_words"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        n_punct.cast("long").alias("punct_chars"),
+        n_digits.cast("long").alias("digit_chars"),
         (
             (n_words >= 5)
             & (n_chars >= 20)
@@ -95,7 +95,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         F.when(best.hits > 0, best.lang).otherwise(F.lit("und")).alias("lang_pred"),
-        best.hits.alias("lang_hits"),
+        best.hits.cast("long").alias("lang_hits"),
     )
 
 
@@ -114,7 +114,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", shingle_words: int = 3) 
     )
     return exploded.groupBy("doc_id", "md5_full").agg(
         F.min(F.md5("shingle")).alias("min_shingle_md5"),
-        F.count("shingle").cast("int").alias("n_shingles"),
+        F.count("shingle").alias("n_shingles"),
     ).select(
         "doc_id",
         "md5_full",
