@@ -42,6 +42,21 @@ _NAV_LINK_RX = re.compile(r"^\[[^\]]+\]\([^)]*\)$")
 _REPEAT_MIN = 3
 _REPEAT_MAX_LEN = 80
 
+# H9 text-density rule (public Boilerpipe/jusText-style heuristic, frozen
+# here): a line whose content is mostly non-alphanumeric "furniture"
+# (separators, pipes-less rules, decoration) is boilerplate.  Density =
+# alphanumeric chars / non-space chars; prose sits ≈0.8+, decoration ≈0.
+_DENSITY_MIN = 0.35
+
+
+def text_density(stripped: str) -> float:
+    """Alphanumeric density of a line (1.0 for pure prose, 0.0 for pure
+    decoration); 0.0 for empty."""
+    body = stripped.replace(" ", "")
+    if not body:
+        return 0.0
+    return sum(ch.isalnum() for ch in body) / len(body)
+
 
 def is_table_row(stripped: str) -> bool:
     """``|…|`` with at least one interior pipe — use_marker_converter.py:78."""
@@ -216,7 +231,12 @@ def scan_markdown(
             i += 1
             continue
 
-        if _RULE_RX.match(line) or _NAV_LINK_RX.match(line) or line in repeated_lines:
+        if (
+            _RULE_RX.match(line)
+            or _NAV_LINK_RX.match(line)
+            or line in repeated_lines
+            or text_density(line) < _DENSITY_MIN
+        ):
             spans.append(
                 {"kind": "boilerplate", "text": line, "media_ref": None, "offset": offset_base + i}
             )

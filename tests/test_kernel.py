@@ -48,6 +48,13 @@ class TestSpanStream:
         texts = [s["text"] for s in spans if s["kind"] in ("text", "caption")]
         assert any("Actual study content" in t for t in texts)
 
+    def test_text_density_boilerplate(self):
+        spans = spans_of("Real prose line here.\n\n::: ::: :::\n\n> > >\n\nMore prose.")
+        kinds = [(s["kind"], s["text"]) for s in spans]
+        assert ("boilerplate", "::: ::: :::") in kinds
+        assert ("boilerplate", "> > >") in kinds
+        assert ("text", "Real prose line here.") in kinds
+
     def test_table_span_is_canonical_block(self):
         spans = spans_of("| A | B |\n|---|---|\n| 1 | 2 |\n")
         assert [s["kind"] for s in spans] == ["table"]
