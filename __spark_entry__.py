@@ -251,11 +251,11 @@ def _q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,6)")
     disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
-    # epoch-seconds comparison: stable whatever the session timezone is
-    # (a string-literal timestamp would parse in session tz and shift the
-    # boundary vs DuckDB's UTC-naive values).  904694400 = 1998-09-02T00:00Z.
+    # l_shipdate is TIMESTAMP_NTZ: compare wall-time against an NTZ literal —
+    # timezone-free in any session (unix_timestamp/epoch would re-interpret
+    # the wall time in the session zone and shift the boundary vs DuckDB).
     out = (
-        li.filter(F.unix_timestamp("l_shipdate") <= 904694400)
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -279,7 +279,7 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
-WHERE epoch(l_shipdate) <= 904694400
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -438,9 +438,15 @@ def _q_sessionize(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # exact integer microseconds: unix_timestamp() truncates to seconds and
+    # the events carry µs precision — fractional gaps would flip boundaries
+    # vs the oracle
+    # ts is TIMESTAMP_NTZ in the parquet; the NTZ→TZ cast shifts by session
+    # tz, but gaps are differences so the shift cancels
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
     sess = F.sum(
-        F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+        F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         e.withColumn("session_id", sess)
@@ -457,7 +463,7 @@ _SQL_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -91,12 +91,15 @@ def run_extraction_checkpointed(
     run_id: str,
     num_buckets: int = DEFAULT_BUCKETS,
     max_buckets_this_run: int | None = None,
+    segment_threshold_chars: int | None = None,
 ) -> dict:
     """The resumable extraction job.
 
     ``max_buckets_this_run`` exists for crash-simulation tests: process only
     the first N unfinished buckets, as if the job died mid-run.
-    Returns counters for observability.
+    ``segment_threshold_chars`` routes documents above that size through the
+    segment-parallel parse (plans/segmentation.py) — identical output,
+    bounded task times.  Returns counters for observability.
     """
     from ..operators.extract import assemble_document_text, parse_documents
     from .partitioning import salted_repartition
@@ -117,9 +120,18 @@ def run_extraction_checkpointed(
         todo = todo.filter(F.col("bucket").isin(remaining))
 
     parallelism = spark.sparkContext.defaultParallelism
-    parsed = parse_documents(
-        salted_repartition(todo, max(parallelism * 2, 8))
-    ).persist()
+    repartitioned = salted_repartition(todo, max(parallelism * 2, 8))
+    if segment_threshold_chars is not None:
+        from .segmentation import parse_documents_segmented
+
+        parsed = parse_documents_segmented(
+            repartitioned, threshold_chars=segment_threshold_chars
+        )
+        # segmented output carries (doc_id, spans, tables, error); the bucket
+        # key is doc_id-derived and therefore recomputable exactly
+        parsed = with_bucket(parsed, num_buckets).persist()
+    else:
+        parsed = parse_documents(repartitioned).persist()
 
     write_partitioned(parsed.select("doc_id", "bucket", "spans"), spans_dir)
 

@@ -25,6 +25,10 @@ def main() -> None:
     parser.add_argument("--run-id", required=True)
     parser.add_argument("--buckets", type=int, default=256)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--segment-threshold", type=int, default=None,
+        help="chars; docs above this parse segment-parallel (identical output)",
+    )
     args = parser.parse_args()
 
     # Under spark-submit the master/conf come from the submit command; this
@@ -54,7 +58,8 @@ def main() -> None:
         df = spark.read.schema(DOCUMENTS_INPUT).parquet(args.input)
 
     stats = run_extraction_checkpointed(
-        spark, df, args.output, run_id=args.run_id, num_buckets=args.buckets
+        spark, df, args.output, run_id=args.run_id, num_buckets=args.buckets,
+        segment_threshold_chars=args.segment_threshold,
     )
     print(json.dumps(stats))
     spark.stop()

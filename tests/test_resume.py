@@ -68,6 +68,18 @@ def test_crash_resume_equals_fresh_run(spark, workdir):
     assert m.agg(F.sum("error_count")).first()[0] == 0
 
 
+def test_segmented_job_output_identical(spark, workdir):
+    """The segment-parallel job writes EXACTLY what the plain job writes."""
+    df = _input(spark, n=80)
+    plain_dir, seg_dir = f"{workdir}/plain", f"{workdir}/seg"
+    run_extraction_checkpointed(spark, df, plain_dir, run_id="r-p", num_buckets=4)
+    run_extraction_checkpointed(
+        spark, df, seg_dir, run_id="r-s", num_buckets=4,
+        segment_threshold_chars=2_000,  # force most docs through segmentation
+    )
+    assert _spans_rows(spark, seg_dir) == _spans_rows(spark, plain_dir)
+
+
 def test_rerun_completed_is_noop(spark, workdir):
     df = _input(spark, n=60)
     out = f"{workdir}/noop"
