@@ -180,8 +180,12 @@ def _mp_work(rng) -> int:
 
 
 def scaling_study(
-    sf_dir: str, low: int = 8, high: int = 32, repeats: int = 3
+    sf_dir: str, low: int = 4, high: int = 16, repeats: int = 3
 ) -> dict:
+    # Default pair (4, 16): a true 4× inside this box's linear regime.  The
+    # (8, 32) pair saturates the HARDWARE itself (the multiprocessing control
+    # scales 8→32 at only ~0.55 with zero framework overhead) — see
+    # BASELINE.md "Measured results".
     """Same job, same input, two parallelism levels (N and 4N cores — this
     sandbox's proxy for N vs 4N executors), separate JVMs, alternating
     best-of-N to shrug off co-tenant noise, plus a no-Spark multiprocessing
