@@ -864,6 +864,56 @@ ORDER BY e.event_id
 """
 
 
+def _q_curate(spark, sf_dir):
+    """The composed training-data pipeline: exact-dedup canonical copy +
+    quality gate + language gate in one chain."""
+    from document_parser_spark.operators.curation import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate_corpus(d, keep_langs=("en", "fr"))
+
+
+_SQL_CURATE = rf"""
+WITH canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+    FROM documents
+  ) WHERE doc_id = canon_id
+),
+w AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM canon),
+quality AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words
+  FROM w
+  WHERE len(ws) >= 5 AND length(text) >= 20
+    AND length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) * 2
+        < greatest(length(text), 1)
+),
+lw AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+       FROM canon),
+hits AS (
+  SELECT doc_id, lang, hits FROM (
+    SELECT doc_id, 'de' AS lang, len(list_filter(ws, x -> x IN ({_stop_sql('de')}))) AS hits FROM lw
+    UNION ALL SELECT doc_id, 'en', len(list_filter(ws, x -> x IN ({_stop_sql('en')}))) FROM lw
+    UNION ALL SELECT doc_id, 'es', len(list_filter(ws, x -> x IN ({_stop_sql('es')}))) FROM lw
+    UNION ALL SELECT doc_id, 'fr', len(list_filter(ws, x -> x IN ({_stop_sql('fr')}))) FROM lw
+  )
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, lang, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        FROM hits)
+  WHERE rn = 1
+)
+SELECT c.doc_id, q.n_words, l.lang_pred
+FROM canon c JOIN quality q ON q.doc_id = c.doc_id
+JOIN lang l ON l.doc_id = c.doc_id
+WHERE l.lang_pred IN ('en', 'fr')
+ORDER BY c.doc_id
+"""
+
+
 # ---- rows-only engine demos ---------------------------------------------------
 
 def _q_ann_lsh(spark, sf_dir):
@@ -960,7 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
-        # text analysis
+        # text analysis + composed curation pipeline
+        "curate_corpus": _q_curate,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "language_id": _q_language_id,
@@ -1003,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _SQL_MINHASH_PAIRS,
         "simhash_docs": _SQL_SIMHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "curate_corpus": _SQL_CURATE,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_scores": _SQL_QUALITY,
         "language_id": _SQL_LANGUAGE_ID,
