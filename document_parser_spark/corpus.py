@@ -216,7 +216,32 @@ Just two paragraphs of plain prose, which must come through
 as ordered text spans with stable offsets.
 """
 
+# Adversarial edge-case docs: CRLF endings, tabs inside cells, a table as the
+# final lines with no trailing newline, separator-ish data rows, regex
+# metacharacters in cell text, and a lone header row at EOF (no separator →
+# prose, reference behavior at use_marker_converter.py:82-84).
+_EDGE_CRLF = "Title line\r\n\r\n| A | B |\r\n|---|---|\r\n| 1 | 2 |\r\n\r\nprose after\r\n"
+
+_EDGE_TABS = "| C1\tname | C2 |\n|---|---|\n| a\tb | c |\n| \t | d |"
+
+_EDGE_EOF_TABLE = "prose before\n\n| X | Y |\n|---|---|\n| 9 | 10 |"
+
+_EDGE_SEPARATORISH = (
+    "| Key | Value |\n|---|---|\n| --- | -2 |\n| a-b | c:d |\n\n"
+    "| lonely header row at eof |x|"
+)
+
+_EDGE_REGEXY = (
+    "Table 1: regex (meta) chars\n\n"
+    "| p.*n | q[1] |\n|---|---|\n| ^start$ | (group) |\n| a\\\\b | c{2,3} |"
+)
+
 FIXTURE_CLASSES: Dict[str, str] = {
+    "edge-crlf": _EDGE_CRLF,
+    "edge-tabs": _EDGE_TABS,
+    "edge-eof-table": _EDGE_EOF_TABLE,
+    "edge-separatorish": _EDGE_SEPARATORISH,
+    "edge-regexy": _EDGE_REGEXY,
     "md-vertical-kv": _SCIENTISTS_TABLE,
     "md-basic-table": _EXPERIMENTAL_DESIGN,
     "md-multirow-header": _MULTIROW_HEADER,
