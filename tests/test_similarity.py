@@ -1,0 +1,51 @@
+"""Similarity-path consistency: the fast native top-k (float math) must agree
+with the decimal-exact oracle twin on neighbor sets, and the LSH path must be
+a subset-recall approximation of the exact path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.operators import similarity
+from document_parser_spark.sources.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _topk_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_fast_path_matches_exact_twin(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    fast = _topk_map(similarity.brute_force_topk(emb, q, k=10).collect())
+    exact = _topk_map(similarity.brute_force_topk_exact(emb, q, k=10).collect())
+    assert set(fast) == set(exact)
+    for qid in fast:
+        assert [v for _, v, _ in fast[qid]] == [v for _, v, _ in exact[qid]], qid
+        for (_, _, a), (_, _, b) in zip(fast[qid], exact[qid]):
+            assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_lsh_results_subset_of_exact_candidates(spark, emb):
+    """Every LSH neighbor must be a genuinely-scored vector (cos equal to the
+    exact pairwise value) — LSH trades recall, never correctness of what it
+    does return."""
+    q = emb.filter(F.col("vec_id") < 3)
+    lsh = similarity.lsh_bucketed_topk(emb, q, k=5).collect()
+    assert len(lsh) > 0
+    exact_all = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(emb, q, k=500).collect()
+    }
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact_all
+        assert r["cos_sim"] == pytest.approx(exact_all[key], rel=1e-6)
