@@ -107,11 +107,19 @@ def _q_extract_tables_meta(spark, sf_dir):
 
 def _q_search_key_value(spark, sf_dir):
     out = search.search_by_key_value(_cells(spark, sf_dir), "Pathology")
-    return out.withColumn("context", F.to_json("context"))
+    # Arrays serialize to JSON for the contract harness (its canonical sort
+    # can't factorize python lists); values are compared as the JSON string.
+    return out.withColumn("context", F.to_json("context")).withColumn(
+        "header_levels", F.to_json("header_levels")
+    )
 
 
 def _q_search_anywhere(spark, sf_dir):
-    return search.search_anywhere(_cells(spark, sf_dir), "mg/kg", max_results=10)
+    # 'Normal' lands in DATA cells of the md-merged-cells fixture ('mg/kg'
+    # only ever occurs in header rows — the reference's own header heuristic
+    # swallows every md-numeric-units row, so that query was 0 rows).
+    out = search.search_anywhere(_cells(spark, sf_dir), "Normal", max_results=10)
+    return out.withColumn("header_levels", F.to_json("header_levels"))
 
 
 def _q_row_assembly(spark, sf_dir):
@@ -440,11 +448,13 @@ def _q_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds: unix_timestamp() truncates to seconds and
     # the events carry µs precision — fractional gaps would flip boundaries
-    # vs the oracle
-    # ts is TIMESTAMP_NTZ in the parquet; the NTZ→TZ cast shifts by session
-    # tz, but gaps are differences so the shift cancels
-    us = lambda c: F.unix_micros(c.cast("timestamp"))
-    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    # vs the oracle.
+    # ts is TIMESTAMP_NTZ: timestamp_diff on two NTZ values is wall-clock
+    # arithmetic with NO session-timezone involvement, matching DuckDB's
+    # epoch_us(ntz) differences in any zone (an NTZ→TZ cast would shift by
+    # session tz, which cancels in differences only for fixed-offset zones —
+    # a DST transition inside a gap would move it by ±3600 s).
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     sess = F.sum(
         F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -517,8 +527,11 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
 
 
 def _q_minhash_pairs(spark, sf_dir):
+    """Banded MinHash (b=4, r=2) candidates VERIFIED by exact shingle
+    Jaccard ≥ 50% — round 1's r=1 unverified candidates collapse in
+    precision at corpus scale (VERDICT.md What's-wrong #5)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.minhash_candidate_pairs(dedup.minhash_signatures(d, shingle_k=5))
+    return dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50)
 
 
 _SQL_MINHASH_PAIRS = rf"""
@@ -527,13 +540,31 @@ sh AS (
   SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
   FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS g(i)
 ),
+mins AS (
+  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, 7)) AS t(h)
+  GROUP BY doc_id, h
+),
 sig AS (
-  SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-  FROM sh, unnest(generate_series(0, 7)) AS b(band)
-  GROUP BY doc_id, band
+  SELECT doc_id, h // 2 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS sig
+  FROM mins GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh + sb.n_sh - i.n_inter AS n_union
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 100 * i.n_inter >= 50 * (sa.n_sh + sb.n_sh - i.n_inter)
 ORDER BY doc_a, doc_b
 """
 
@@ -914,7 +945,7 @@ ORDER BY c.doc_id
 """
 
 
-# ---- rows-only engine demos ---------------------------------------------------
+# ---- banded sign-LSH (oracled: integer projections/buckets/cosine are exact) --
 
 def _q_ann_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
@@ -922,8 +953,88 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    # 0.45 sits just under the corpus' top-pair cosine band (max ≈ 0.51 at
+    # sf0.01) so the query demonstrably returns rows; 0.8 returned nothing.
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(e, threshold=0.8)
+    return similarity.cosine_near_dup_pairs(e, threshold=0.45)
+
+
+# Shared banded-LSH SQL scaffolding (mirrors operators/similarity.py exactly:
+# ±1 signs = md5-nibble parity, projections/dots/norms in int64, bands of 4).
+_SQL_LSH_COMMON = """
+dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+signs AS (
+  SELECT p.plane, g.pos,
+         CASE WHEN ('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':' || CAST(g.pos AS VARCHAR)), 1, 1))::INT % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM unnest(generate_series(0, 15)) AS p(plane),
+       dims, unnest(generate_series(0, dim - 1)) AS g(pos)
+),
+ev AS (
+  SELECT vec_id, g.i AS pos,
+         CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1e8) AS BIGINT) AS ival
+  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+proj AS (
+  SELECT ev.vec_id, s.plane, sum(ev.ival * s.sign) AS proj
+  FROM ev JOIN signs s ON s.pos = ev.pos
+  GROUP BY ev.vec_id, s.plane
+),
+bb AS (
+  SELECT vec_id, plane // 4 AS band,
+         sum(CASE WHEN proj > 0 THEN 1 << (plane % 4) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, plane // 4
+),
+norms AS (SELECT vec_id, sum(ival * ival) AS nsq FROM ev GROUP BY vec_id)
+"""
+
+_SQL_ANN_LSH = f"""
+WITH {_SQL_LSH_COMMON},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+  FROM bb e JOIN bb q ON e.band = q.band AND e.bucket = q.bucket
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(ea.ival * eb.ival) AS dot
+  FROM cand c
+  JOIN ev ea ON ea.vec_id = c.vec_id
+  JOIN ev eb ON eb.vec_id = c.query_id AND eb.pos = ea.pos
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nq.nsq AS DOUBLE))) AS cos_sim
+  FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nq ON nq.vec_id = d.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+_SQL_EMBEDDING_NEAR_DUP = f"""
+WITH {_SQL_LSH_COMMON},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(ea.ival * eb.ival) AS dot
+  FROM cand c
+  JOIN ev ea ON ea.vec_id = c.id_a
+  JOIN ev eb ON eb.vec_id = c.id_b AND eb.pos = ea.pos
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos_sim
+FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.45
+ORDER BY id_a, id_b
+"""
 
 
 def _q_media_features(spark, sf_dir):
@@ -932,7 +1043,8 @@ def _q_media_features(spark, sf_dir):
         synthetic_media_for,
     )
 
-    return extract_media_features(synthetic_media_for(_extraction_corpus(spark, sf_dir)))
+    out = extract_media_features(synthetic_media_for(_extraction_corpus(spark, sf_dir)))
+    return out.withColumn("features", F.to_json("features"))
 
 
 def _q_merged_cell_spans(spark, sf_dir):
@@ -1060,4 +1172,6 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _SQL_LANGUAGE_ID,
         "fingerprints": _SQL_FINGERPRINTS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "ann_lsh_topk": _SQL_ANN_LSH,
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     }

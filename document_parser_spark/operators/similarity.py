@@ -1,27 +1,40 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
-  * ``brute_force_topk``      — the performance baseline: native
+Paths:
+  * ``brute_force_topk``       — the float performance baseline: native
     ``F.zip_with`` dot product in double precision, whole-stage codegen,
-    TakeOrderedAndProject per query.  This is the path bench.py measures.
-  * ``brute_force_topk_exact`` — the oracle-comparable twin: the dot product
-    is accumulated in DECIMAL via posexplode+join, which is bit-identical to
-    the DuckDB SQL oracle (float sums are order-dependent; decimal sums are
-    exact, so cross-engine comparison is sound).
-  * ``lsh_bucketed_topk``     — the scale path: deterministic sign-random
-    hyperplanes (md5-seeded ±1 components) bucket vectors; per-bucket
-    brute force; probing the query's bucket only.  Recall<1 by design.
+    per-query top-k.  This is the path bench.py measures.
+  * ``brute_force_topk_exact`` — the oracle-comparable twin: components are
+    scaled to exact integers (``floor(val * 1e8)``), dot/norm accumulate in
+    int64 (order-independent), and only the final cosine divides in double —
+    bit-identical to the DuckDB mirror.  Query norms come from the query's
+    OWN vector (not looked up in the corpus), so arbitrary query frames work.
+  * ``lsh_bucketed_topk``      — the ANN scale path: banded sign-LSH
+    (bands × rows_per_band deterministic hyperplanes) buckets vectors; a
+    pair is a candidate iff it shares ≥1 band bucket; exact integer cosine
+    ranks candidates.  Recall < 1 by design but ≫ single-table probing —
+    P(candidate) = 1-(1-p^r)^b vs p^(r·b).
+  * ``cosine_near_dup_pairs``  — embedding near-dup for the dedup family:
+    banded-LSH candidates + exact integer cosine threshold.  Never all-pairs.
 
-Embedding near-dup for the dedup family: ``cosine_near_dup_pairs`` —
-LSH-bucketed candidate pairs + exact cosine filter.
+Determinism: hyperplane signs are the parity of the first md5 nibble of
+"plane:pos" — reproducible in Python (sign matrix is computed driver-side
+with hashlib and inlined as a LITERAL column, zero per-row hashing) and in
+SQL (DuckDB mirror in __spark_entry__.py), so every integer projection,
+bucket id, and cosine is bit-identical across engines.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-PLANES = 8
+PLANES = 8          # legacy flat-bucket width (kept for compatibility)
+BANDS = 4           # banded LSH: number of bands
+ROWS_PER_BAND = 4   # hyperplanes per band
+SCALE = 1e8         # float → int scaling (|val| ≤ 90 keeps 64·(9e9)² < 2^63)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -37,7 +50,40 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Float cosine — the bench/hot path (one pass, codegen-friendly)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# --- exact integer arithmetic (oracle-comparable) ----------------------------
+
+def _int_val(x: Column) -> Column:
+    return F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Σ floor(aᵢ·1e8)·floor(bᵢ·1e8) in int64 — order-independent, exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _int_val(x) * _int_val(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_nsq(a: Column) -> Column:
+    return F.aggregate(
+        a,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + _int_val(x) * _int_val(x),
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine of the integer-scaled vectors: exact int64 dot/norms, one double
+    division at the end — bit-identical in any engine (IEEE sqrt/divide are
+    correctly rounded)."""
+    return _int_dot(a, b).cast("double") / (
+        F.sqrt(_int_nsq(a).cast("double")) * F.sqrt(_int_nsq(b).cast("double"))
+    )
 
 
 def brute_force_topk(
@@ -76,47 +122,20 @@ def brute_force_topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Oracle-comparable top-k: components are scaled to exact integers
-    (``floor(val * 1e8)`` — float→double promotion and floor round
-    identically in every engine; float→decimal casts do NOT), dot/norm
-    accumulate in int64, and only the final cosine divides in double —
-    bit-identical to the DuckDB mirror.  Bound: |val| ≤ 90 keeps
-    64·(9e9)² < 2^63."""
-    def expand(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{name}_id"),
-            F.posexplode(vec_col).alias("pos", "val"),
-        ).select(
-            f"{name}_id",
-            "pos",
-            F.floor(F.col("val").cast("double") * F.lit(1e8)).alias(f"{name}_val"),
-        )
-
-    ev = expand(embeddings, "vec")
-    qv = expand(queries, "query")
-    dots = (
-        ev.join(qv, on="pos")
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.col("vec_val") * F.col("query_val")).alias("dot"))
+    """Oracle-comparable top-k: same plan shape as ``brute_force_topk``
+    (broadcast cross join, no explode), but integer-exact arithmetic.  The
+    query norm is computed from the query's own vector, so the query frame
+    need not be a subset of the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    norms = (
-        ev.groupBy("vec_id").agg(F.sum(F.col("vec_val") * F.col("vec_val")).alias("nsq"))
-    )
-    qnorms = norms.select(
-        F.col("vec_id").alias("query_id"), F.col("nsq").alias("q_nsq")
-    )
-    scored = (
-        dots.filter(F.col("vec_id") != F.col("query_id"))
-        .join(norms, "vec_id")
-        .join(qnorms, "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("nsq").cast("double")) * F.sqrt(F.col("q_nsq").cast("double")))
-            ).alias("cos_sim"),
-        )
+    pairs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec")
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        cosine_exact(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -126,58 +145,102 @@ def brute_force_topk_exact(
     )
 
 
-def _plane_sign(plane: int, pos: Column) -> Column:
-    """Deterministic ±1 hyperplane component: parity of the first md5 nibble
-    of 'plane:pos' — reproducible anywhere, no RNG state."""
-    nibble = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(plane)), pos.cast("string"))), 1, 1),
-        16,
-        10,
-    ).cast("int")
-    return F.when(nibble % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+# --- banded sign-LSH ----------------------------------------------------------
+
+def plane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane: parity of the first md5 nibble of
+    'plane:pos' — matches the DuckDB mirror
+    ``('0x' || substr(md5(plane || ':' || pos), 1, 1))::INT % 2``."""
+    return [
+        1 if int(hashlib.md5(f"{plane}:{pos}".encode()).hexdigest()[0], 16) % 2 == 1 else -1
+        for pos in range(dim)
+    ]
 
 
-def lsh_bucket(vec_col: Column, planes: int = PLANES) -> Column:
-    """Sign-LSH bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), lambda i: _plane_sign(p, i)),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
+def probe_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """One tiny driver-side job to learn the (uniform) embedding dimension;
+    the sign matrix is then inlined as literals — zero per-row hashing."""
+    row = df.select(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if row is None or row.lo != row.hi:
+        raise ValueError(f"embedding dimension not uniform: {row}")
+    return int(row.hi)
+
+
+def _band_buckets_col(
+    vec: Column, dim: int, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> Column:
+    """array<struct<band:int, bucket:long>> — one bucket id per band.
+    Projection p = Σᵢ floor(vecᵢ·1e8)·signs(p)ᵢ is exact int64; bucket bit j
+    of band b is (projection(b·r+j) > 0)."""
+    def proj(p: int) -> Column:
+        signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+        return F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: _int_val(x) * s.cast("long")),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    return bucket
+
+    structs = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            bucket = bucket + F.when(
+                proj(b * rows_per_band + j) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*structs)
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band, bucket) — exploded band buckets, ready for the bucket join."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_band_buckets_col(F.col(vec_col), dim, bands, rows_per_band)).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """ANN: probe only the query's LSH bucket, brute-force inside it.  The
-    bucket join replaces the cross join — candidate count drops ~2^planes×."""
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    """ANN: candidates share ≥1 of the query's band buckets; exact integer
+    cosine ranks them.  The banded join replaces the cross join — candidate
+    count drops ~2^r per band while recall stays 1-(1-p^r)^b."""
+    dim = probe_dim(embeddings, vec_col)
+    e_b = lsh_band_buckets(embeddings, dim, id_col, vec_col, bands, rows_per_band)
+    q_b = lsh_band_buckets(queries, dim, id_col, vec_col, bands, rows_per_band).select(
+        F.col("id").alias("query_id"), "band", "bucket"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    cand = (
+        e_b.join(F.broadcast(q_b), on=["band", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("vec_id"))
+        .distinct()
     )
+    e_vec = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = (
-        e.join(F.broadcast(q), on="bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"))
+        cand.join(e_vec, "vec_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_exact(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -189,24 +252,31 @@ def lsh_bucketed_topk(
 
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.95,
-    planes: int = PLANES,
+    threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidates,
-    exact cosine verify.  Never all-pairs."""
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    return (
-        a.join(b, on="bucket")
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates, exact
+    integer cosine verify.  Never all-pairs; candidates bounded by bucket
+    population per band."""
+    dim = probe_dim(embeddings, vec_col)
+    bb = lsh_band_buckets(embeddings, dim, id_col, vec_col, bands, rows_per_band)
+    a = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_exact(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
