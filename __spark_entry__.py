@@ -88,30 +88,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # --------------------------------------------------------------------------
 
+# The parse-surface queries are oracled against GOLDEN PARQUET: the pure
+# kernel (the reference-faithful oracle) parses the same corpus at build time
+# (scripts/build_golden.py) and the DuckDB SQL re-implements each query's
+# relational logic over those tables — so the Spark operators are verified
+# independently, with only the markdown parse shared via the kernel.
+# The driver compares at sf0.01; all numeric keys are cast to BIGINT on both
+# sides to make the dtype comparison width-stable.
+_GOLDEN = "/root/repo/golden/sf0.01"
+
+
 def _q_extract_spans(spark, sf_dir):
     parsed = _parsed(spark, sf_dir)
     s = parsed.select("doc_id", F.posexplode("spans").alias("seq", "span"))
     return s.select(
         "doc_id",
-        "seq",
+        F.col("seq").cast("long").alias("seq"),
         F.col("span.kind").alias("kind"),
         F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
-        F.length("span.text").alias("text_len"),
+        F.col("span.offset").cast("long").alias("offset"),
+        F.length("span.text").cast("long").alias("text_len"),
     )
 
 
+_SQL_EXTRACT_SPANS = f"""
+SELECT doc_id, seq, kind, media_ref, "offset", text_len
+FROM read_parquet('{_GOLDEN}/spans.parquet')
+ORDER BY doc_id, seq
+"""
+
+
 def _q_extract_tables_meta(spark, sf_dir):
-    return search.list_all_tables(tables_output(_parsed(spark, sf_dir)))
+    out = search.list_all_tables(tables_output(_parsed(spark, sf_dir)))
+    return out.withColumn("index", F.col("index").cast("long"))
+
+
+_SQL_EXTRACT_TABLES_META = f"""
+SELECT doc_id, table_index AS "index", title, table_type AS "type", source,
+       printf('%dx%d', num_rows, num_columns) AS size
+FROM read_parquet('{_GOLDEN}/tables.parquet')
+ORDER BY doc_id, "index"
+"""
 
 
 def _q_search_key_value(spark, sf_dir):
     out = search.search_by_key_value(_cells(spark, sf_dir), "Pathology")
     # Arrays serialize to JSON for the contract harness (its canonical sort
     # can't factorize python lists); values are compared as the JSON string.
-    return out.withColumn("context", F.to_json("context")).withColumn(
-        "header_levels", F.to_json("header_levels")
+    return (
+        out.withColumn("context", F.to_json("context"))
+        .withColumn("header_levels", F.to_json("header_levels"))
+        .withColumn("table_index", F.col("table_index").cast("long"))
+        .withColumn("row", F.col("row").cast("long"))
+        .withColumn("col", F.col("col").cast("long"))
     )
+
+
+_SQL_SEARCH_KEY_VALUE = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_GOLDEN}/cells.parquet')),
+keys AS (
+  SELECT doc_id, table_index, row, text AS key, header AS key_column
+  FROM cells
+  WHERE table_type = 'vertical' AND col = 0 AND contains(lower(text), 'pathology')
+)
+SELECT v.doc_id, v.table_index, v.table_source, v.table_title,
+       'vertical' AS table_type, v.row, v.col, v.header,
+       CAST(to_json(v.header_levels) AS VARCHAR) AS header_levels,
+       v.text AS cell_text,
+       CAST(1.0 AS DOUBLE) AS match_score,
+       'key_value' AS match_type,
+       CAST(json_object('key', k.key, 'key_column', k.key_column,
+                        'value_column', v.header) AS VARCHAR) AS context
+FROM keys k
+JOIN cells v ON v.doc_id = k.doc_id AND v.table_index = k.table_index
+            AND v.row = k.row AND v.col > 0
+ORDER BY v.doc_id, v.table_index, v.row, v.col
+"""
 
 
 def _q_search_anywhere(spark, sf_dir):
@@ -119,14 +171,70 @@ def _q_search_anywhere(spark, sf_dir):
     # only ever occurs in header rows — the reference's own header heuristic
     # swallows every md-numeric-units row, so that query was 0 rows).
     out = search.search_anywhere(_cells(spark, sf_dir), "Normal", max_results=10)
-    return out.withColumn("header_levels", F.to_json("header_levels"))
+    return (
+        out.withColumn("header_levels", F.to_json("header_levels"))
+        .withColumn("table_index", F.col("table_index").cast("long"))
+        .withColumn("row", F.col("row").cast("long"))
+        .withColumn("col", F.col("col").cast("long"))
+    )
+
+
+_SQL_SEARCH_ANYWHERE = f"""
+SELECT doc_id, table_index, table_source, table_title, table_type, row, col,
+       header, CAST(to_json(header_levels) AS VARCHAR) AS header_levels,
+       text AS cell_text, CAST(1.0 AS DOUBLE) AS match_score,
+       'cell' AS match_type
+FROM read_parquet('{_GOLDEN}/cells.parquet')
+WHERE contains(lower(text), 'normal')
+ORDER BY match_score DESC, doc_id, table_index, row, col
+LIMIT 10
+"""
 
 
 def _q_row_assembly(spark, sf_dir):
     out = search.get_row_by_column_value(
         _cells(spark, sf_dir), "Group Number", "2", table_title="Experimental Design"
     )
-    return out.withColumn("row_data", F.to_json("row_data"))
+    return (
+        out.withColumn("row_data", F.to_json("row_data"))
+        .withColumn("table_index", F.col("table_index").cast("long"))
+        .withColumn("row", F.col("row").cast("long"))
+    )
+
+
+_SQL_ROW_ASSEMBLY = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_GOLDEN}/cells.parquet')),
+hits AS (
+  SELECT doc_id, table_index, table_title, table_type, row, col, header, text,
+         row_number() OVER (PARTITION BY doc_id, table_index, row ORDER BY col) AS rn
+  FROM cells
+  WHERE table_type = 'horizontal'
+    AND contains(lower(coalesce(table_title, '')), 'experimental design')
+    AND (header = 'Group Number'
+         OR list_contains(header_levels, 'Group Number')
+         OR len(list_filter(header_levels, x -> contains(lower(x), 'group number'))) > 0)
+    AND contains(lower(text), '2')
+),
+matched AS (
+  SELECT doc_id, table_index, table_title, table_type, row,
+         header AS matched_column, text AS matched_value,
+         CAST(1.0 AS DOUBLE) AS match_score
+  FROM hits WHERE rn = 1
+),
+maps AS (
+  SELECT c.doc_id, c.table_index, c.row,
+         '{{' || string_agg(to_json(c.header) || ':' || to_json(c.text), ',' ORDER BY c.col) || '}}' AS row_data
+  FROM cells c
+  SEMI JOIN matched m
+    ON m.doc_id = c.doc_id AND m.table_index = c.table_index AND m.row = c.row
+  GROUP BY c.doc_id, c.table_index, c.row
+)
+SELECT m.doc_id, m.table_index, m.row, m.table_title, m.table_type,
+       m.matched_column, m.matched_value, m.match_score, p.row_data
+FROM matched m
+JOIN maps p ON p.doc_id = m.doc_id AND p.table_index = m.table_index AND p.row = m.row
+ORDER BY m.doc_id, m.table_index, m.row
+"""
 
 
 # ---- F1: match-mode predicates (oracled) ----------------------------------
@@ -1047,6 +1155,37 @@ def _q_media_features(spark, sf_dir):
     return out.withColumn("features", F.to_json("features"))
 
 
+# The decode stub is deterministic sha256 arithmetic (operators/multimodal.py)
+# so the WHOLE multimodal operator has an exact SQL mirror: synthetic bytes =
+# utf8 of sha256-hex(doc_id|media_ref) (64 bytes), digest = sha256 of those,
+# dims/features = digest bytes.  Media refs come from the golden media table
+# (distinct ![](ref) per doc — corpus.to_input_rows semantics).
+_SQL_MEDIA_FEATURES = f"""
+WITH media AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN regexp_matches(media_ref, '(?i)\\.(png|jpe?g|gif)$') THEN 'image'
+              WHEN regexp_matches(media_ref, '(?i)\\.(wav|mp3|flac)$') THEN 'audio'
+              ELSE 'video' END AS media_kind,
+         sha256(sha256(doc_id || '|' || media_ref)) AS digest
+  FROM read_parquet('{_GOLDEN}/media.parquet')
+),
+bytes AS (
+  SELECT *, list_transform(generate_series(0, 7),
+                           i -> ('0x' || substr(digest, 2 * i + 1, 2))::INT) AS fb
+  FROM media
+)
+SELECT doc_id, media_ref, media_kind,
+       CAST(64 AS BIGINT) AS n_bytes,
+       digest AS sha256,
+       CASE WHEN media_kind = 'image' THEN 64 + fb[1] % 192 END::INT AS width,
+       CASE WHEN media_kind = 'image' THEN 64 + fb[2] % 192 END::INT AS height,
+       CASE WHEN media_kind = 'image' THEN 1 ELSE 1 + 64 % 32 END::INT AS n_frames,
+       CAST(to_json(fb) AS VARCHAR) AS features
+FROM bytes
+ORDER BY doc_id, media_ref
+"""
+
+
 def _q_merged_cell_spans(spark, sf_dir):
     """H7/P6: merged-cell rectangular spans inferred from every extracted
     table span (sink-dialect parse), exercised engine-side."""
@@ -1061,8 +1200,8 @@ def _q_merged_cell_spans(spark, sf_dir):
     ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("block"))
 
     schema = (
-        "doc_id string, offset int, owner_row int, owner_col int, "
-        "min_row int, max_row int, min_col int, max_col int"
+        "doc_id string, offset long, owner_row long, owner_col long, "
+        "min_row long, max_row long, min_col long, max_col long"
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1079,6 +1218,15 @@ def _q_merged_cell_spans(spark, sf_dir):
             )
 
     return table_spans.mapInPandas(op, schema=schema).orderBy("doc_id", "offset", "owner_row", "owner_col")
+
+
+# Golden-dump oracle: the kernel computed the same spans at build time
+# (scripts/build_golden.py) — a rows-only demo in round 1, now comparable.
+_SQL_MERGED_CELL_SPANS = f"""
+SELECT doc_id, "offset", owner_row, owner_col, min_row, max_row, min_col, max_col
+FROM read_parquet('{_GOLDEN}/merged_spans.parquet')
+ORDER BY doc_id, "offset", owner_row, owner_col
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1174,4 +1322,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        # parse surface vs golden-parquet kernel oracle (scripts/build_golden.py)
+        "extract_spans": _SQL_EXTRACT_SPANS,
+        "extract_tables_meta": _SQL_EXTRACT_TABLES_META,
+        "search_key_value_pathology": _SQL_SEARCH_KEY_VALUE,
+        "search_anywhere_topk": _SQL_SEARCH_ANYWHERE,
+        "row_assembly_group2": _SQL_ROW_ASSEMBLY,
+        "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
+        "media_features": _SQL_MEDIA_FEATURES,
     }

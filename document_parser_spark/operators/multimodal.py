@@ -35,7 +35,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "doc_id string, media_ref string, media_kind string, n_bytes long, "
-    "sha256 string, width int, height int, n_frames int, features array<float>"
+    "sha256 string, width int, height int, n_frames int, features array<int>"
 )
 
 
@@ -61,12 +61,15 @@ def _frame_sample(data: bytes, media_kind: str) -> int:
     return 1 + (len(data or b"") % 32)
 
 
-def _feature_vector(data: bytes, dim: int = 8) -> list[float]:
-    """Deterministic per-blob feature stub: scaled sha256 bytes.  The real
-    extractor (CNN/mel-spectrogram) slots in here; the Arrow plumbing —
-    array<float> column, batch shape — is what's engine-relevant."""
+def _feature_vector(data: bytes, dim: int = 8) -> list[int]:
+    """Deterministic per-blob feature stub: the first ``dim`` sha256 digest
+    bytes as ints.  The real extractor (CNN/mel-spectrogram) slots in here;
+    the Arrow plumbing — array column, batch shape — is what's
+    engine-relevant.  Integer features make the whole operator expressible
+    as an exact DuckDB oracle (float JSON rendering differs across engines;
+    int rendering doesn't)."""
     digest = hashlib.sha256(data or b"").digest()
-    return [digest[i] / 255.0 for i in range(dim)]
+    return [digest[i] for i in range(dim)]
 
 
 def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:

@@ -11,17 +11,38 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
+# The parse-surface oracles read the committed golden parquet, which is built
+# from sf0.01's corpus (the driver's comparison tier) — those queries must run
+# against the matching sf dir.
+SF_GOLDEN = "/root/testdata/sf0.01"
+GOLDEN_BACKED = {
+    "extract_spans", "extract_tables_meta", "search_key_value_pathology",
+    "search_anywhere_topk", "row_assembly_group2", "merged_cell_spans",
+    "media_features",
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
-@pytest.fixture(scope="module")
-def ddb():
+def _make_con(sf):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = _make_con(SF)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def ddb_golden():
+    con = _make_con(SF_GOLDEN)
     yield con
     con.close()
 
@@ -48,12 +69,14 @@ ORACLED = sorted(entrymod.oracle_sql())
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_query_matches_oracle(spark, ddb, name):
-    sdf = entrymod.queries()[name](spark, SF)
+def test_query_matches_oracle(spark, ddb, ddb_golden, name):
+    sf = SF_GOLDEN if name in GOLDEN_BACKED else SF
+    con = ddb_golden if name in GOLDEN_BACKED else ddb
+    sdf = entrymod.queries()[name](spark, sf)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
-    res = ddb.execute(entrymod.oracle_sql()[name])
+    res = con.execute(entrymod.oracle_sql()[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 

@@ -64,7 +64,7 @@ def test_media_feature_extraction(spark):
     assert img["media_kind"] == "image"
     assert img["n_bytes"] > 0 and len(img["sha256"]) == 64
     assert img["width"] and img["height"] and img["n_frames"] == 1
-    assert len(img["features"]) == 8 and all(0 <= v <= 1 for v in img["features"])
+    assert len(img["features"]) == 8 and all(0 <= v <= 255 for v in img["features"])
     # determinism
     again = {(r["doc_id"], r["media_ref"]): r for r in extract_media_features(media).collect()}
     assert again[("fx-md-media-interleaved", "fig_1.png")]["features"] == img["features"]
