@@ -6,7 +6,7 @@ fixture corpus and (b) the bodies of the vectorized Arrow UDFs in
 distributed pipeline matches the oracle by construction.
 """
 
-from .normalize import clean_cell, clean_cell_basic, normalize_scripts
+from .normalize import clean_cell, clean_cell_basic, normalize_scripts, split_script_runs
 from .pipeline import infer_merged_spans, parse_document, parse_table_sink_dialect
 from .predicates import (
     FUZZY_THRESHOLD,
@@ -63,5 +63,6 @@ __all__ = [
     "parse_table_block",
     "parse_table_sink_dialect",
     "scan_markdown",
+    "split_script_runs",
     "split_row",
 ]

@@ -97,6 +97,234 @@ def write_media(media: DataFrame, path: str) -> None:
     media.write.mode("overwrite").parquet(path)
 
 
+# --- K6: DOCX exporter --------------------------------------------------------
+
+def docx_table_runs(markdown_table: str):
+    """K6 intermediate: the exact structure the reference's DOCX writer
+    renders (convert_table.py:10-145) — a padded grid where every cell is a
+    list of styled runs (plain / superscript / subscript / break) and header
+    rows are bold.
+
+    Parse dialect: every line above the ``|---|`` separator is a header row
+    (convert_table.py:22-40 == kernel.parse_table_sink_dialect); run
+    splitting: literal ``<br>`` line breaks, then ``^word``/``_word`` marker
+    tokens (convert_table.py:70-101 == kernel.split_script_runs).  With
+    python-docx installed, ``write_docx`` renders this verbatim; without it,
+    the intermediate IS the exporter's output."""
+    from ..kernel import parse_table_sink_dialect, split_script_runs
+
+    parsed = parse_table_sink_dialect(markdown_table)
+    if parsed is None:
+        return None
+    n_header = len(parsed["header_rows"])
+    grid = parsed["header_rows"] + parsed["data_rows"]
+    cells = []
+    for r, row in enumerate(grid):
+        for c, text in enumerate(row):
+            cells.append(
+                {
+                    "row": r,
+                    "col": c,
+                    "bold": r < n_header,
+                    "runs": [{"kind": k, "text": t} for k, t in split_script_runs(text)],
+                }
+            )
+    return {
+        "num_rows": len(grid),
+        "num_cols": parsed["num_cols"],
+        "header_row_count": n_header,
+        "cells": cells,
+    }
+
+
+def write_docx(markdown_table: str, path: str) -> None:
+    """K6 file writer: renders ``docx_table_runs`` with python-docx —
+    centered paragraphs, Table Grid style, bold headers, super/subscript
+    runs, explicit breaks (convert_table.py:63-112; the disabled 'Day 15'
+    merge logic at :118-142 is deliberately NOT reproduced).  The library is
+    not in this container, so the writer is gated the same way the
+    multimodal decoders are."""
+    try:  # pragma: no cover - python-docx absent in this container
+        from docx import Document
+        from docx.enum.table import WD_ALIGN_VERTICAL
+        from docx.enum.text import WD_ALIGN_PARAGRAPH
+    except ImportError as exc:
+        raise NotImplementedError(
+            "python-docx is not installed; consume docx_table_runs() instead"
+        ) from exc
+
+    structure = docx_table_runs(markdown_table)
+    if structure is None:
+        return
+    doc = Document()
+    doc.add_heading("Converted Table", level=2)
+    table = doc.add_table(rows=structure["num_rows"], cols=structure["num_cols"])
+    table.style = "Table Grid"
+    for cell_spec in structure["cells"]:
+        cell = table.cell(cell_spec["row"], cell_spec["col"])
+        cell.text = ""
+        paragraph = cell.paragraphs[0]
+        for run_spec in cell_spec["runs"]:
+            if run_spec["kind"] == "break":
+                paragraph.add_run().add_break()
+                continue
+            run = paragraph.add_run(run_spec["text"])
+            run.font.superscript = run_spec["kind"] == "superscript"
+            run.font.subscript = run_spec["kind"] == "subscript"
+            if cell_spec["bold"]:
+                run.bold = True
+        paragraph.alignment = WD_ALIGN_PARAGRAPH.CENTER
+        cell.vertical_alignment = WD_ALIGN_VERTICAL.CENTER
+    doc.save(path)
+
+
+# --- K7: PDF exporter -----------------------------------------------------------
+
+def pdf_table_commands(markdown_table: str):
+    """K7 intermediate: the ReportLab build plan the reference's PDF writer
+    assembles (convert_table_pdf.py:10-148) — the padded paragraph grid
+    (owner cells carry text with ``<br>``→``<br/>`` and ``<b>`` headers;
+    covered cells are empty placeholders) plus the SPAN style commands
+    [('SPAN', (start_col, start_row), (end_col, end_row)), ...] from
+    merged-cell inference (kernel.infer_merged_spans == H7/W4)."""
+    from ..kernel import parse_table_sink_dialect
+
+    parsed = parse_table_sink_dialect(markdown_table)
+    if parsed is None:
+        return None
+    n_header = len(parsed["header_rows"])
+    grid = parsed["header_rows"] + parsed["data_rows"]
+
+    owner_of = {}
+    for span in parsed["merged_spans"]:
+        for r in range(span["min_row"], span["max_row"] + 1):
+            for c in range(span["min_col"], span["max_col"] + 1):
+                owner_of[(r, c)] = (span["owner_row"], span["owner_col"])
+
+    table_data = []
+    for r, row in enumerate(grid):
+        out_row = []
+        for c, text in enumerate(row):
+            if owner_of.get((r, c), (r, c)) != (r, c):
+                out_row.append("")  # covered by a span — placeholder
+                continue
+            rendered = text.replace("<br>", "<br/>")
+            if r < n_header:
+                rendered = f"<b>{rendered}</b>"
+            out_row.append(rendered)
+        table_data.append(out_row)
+
+    span_commands = [
+        ("SPAN", (s["min_col"], s["min_row"]), (s["max_col"], s["max_row"]))
+        for s in parsed["merged_spans"]
+    ]
+    return {
+        "table_data": table_data,
+        "span_commands": span_commands,
+        "header_row_count": n_header,
+        "num_cols": parsed["num_cols"],
+    }
+
+
+def write_pdf(markdown_table: str, path: str) -> None:
+    """K7 file writer: renders ``pdf_table_commands`` with ReportLab —
+    landscape letter, GRID/VALIGN/ALIGN base style plus the inferred SPAN
+    commands (convert_table_pdf.py:121-148).  Gated on the library."""
+    try:  # pragma: no cover - reportlab absent in this container
+        from reportlab.lib import colors
+        from reportlab.lib.pagesizes import landscape, letter
+        from reportlab.lib.styles import getSampleStyleSheet
+        from reportlab.platypus import Paragraph, SimpleDocTemplate, Table, TableStyle
+    except ImportError as exc:
+        raise NotImplementedError(
+            "reportlab is not installed; consume pdf_table_commands() instead"
+        ) from exc
+
+    plan = pdf_table_commands(markdown_table)
+    if plan is None:
+        return
+    styles = getSampleStyleSheet()
+    body = styles["BodyText"]
+    body.alignment = 1
+    data = [
+        [Paragraph(text, body) if text else "" for text in row]
+        for row in plan["table_data"]
+    ]
+    style = TableStyle(
+        [
+            ("GRID", (0, 0), (-1, -1), 1, colors.black),
+            ("VALIGN", (0, 0), (-1, -1), "MIDDLE"),
+            ("ALIGN", (0, 0), (-1, -1), "CENTER"),
+        ]
+    )
+    for cmd, start, end in plan["span_commands"]:
+        style.add(cmd, start, end)
+    doc = SimpleDocTemplate(path, pagesize=landscape(letter))
+    table = Table(data)
+    table.setStyle(style)
+    doc.build([Paragraph("<b>Converted Table</b>", styles["Heading2"]), table])
+
+
+def export_table_runs(parsed: DataFrame) -> DataFrame:
+    """Engine-side K6/K7 feed: every extracted table span → its styled-run
+    grid and SPAN commands as typed columns, computed distributed (the edge
+    writers then render one collected table each).  One mapInPandas stage
+    over the table spans — the serialized block never hits the driver."""
+    import pandas as pd
+    from typing import Iterator
+
+    table_spans = parsed.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s.kind == F.lit("table"))).alias("s"),
+    ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("block"))
+
+    schema = (
+        "doc_id string, offset long, row long, col long, bold boolean, "
+        "runs array<struct<kind:string,text:string>>, covered boolean, "
+        "span_min_row long, span_max_row long, span_min_col long, span_max_col long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in schema.split(", ")]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                runs = docx_table_runs(rec.block)
+                plan = pdf_table_commands(rec.block)
+                if runs is None or plan is None:
+                    continue
+                span_at = {
+                    (s[1][1], s[1][0]): s for s in plan["span_commands"]
+                }  # owner (row, col) -> SPAN
+                covered = set()
+                for _, (sc, sr), (ec, er) in plan["span_commands"]:
+                    for r in range(sr, er + 1):
+                        for c in range(sc, ec + 1):
+                            if (r, c) != (sr, sc):
+                                covered.add((r, c))
+                for cell in runs["cells"]:
+                    key = (cell["row"], cell["col"])
+                    span = span_at.get(key)
+                    rows.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "offset": rec.offset,
+                            "row": cell["row"],
+                            "col": cell["col"],
+                            "bold": cell["bold"],
+                            "runs": cell["runs"],
+                            "covered": key in covered,
+                            "span_min_row": span[1][1] if span else None,
+                            "span_max_row": span[2][1] if span else None,
+                            "span_min_col": span[1][0] if span else None,
+                            "span_max_col": span[2][0] if span else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return table_spans.mapInPandas(op, schema=schema)
+
+
 def to_pandas_tables(tables: DataFrame, doc_id: str):
     """K6/K7 edge feed + A5: one pandas DataFrame per table of one document
     (the reference's tables_to_dataframes_from_markdown, main.py:160-179).

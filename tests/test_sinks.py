@@ -101,3 +101,95 @@ def test_split_script_runs_c7():
     assert split_script_runs("a<br>b") == [("plain", "a"), ("break", ""), ("plain", "b")]
     assert split_script_runs("") == []
     assert split_script_runs("^a") == [("superscript", "a")]
+
+
+# --- K6/K7 file exporters (round 2: VERDICT item 7) ---------------------------
+
+_EXPERIMENTAL = """\
+| Group Number | Dose Level<br>(mg/kg) | Dose Volume (mL/kg) | Number of Animals |
+|---|---|---|---|
+| 1 | 0 | 10 | 12 |
+| 2 | 50 | 10 | 12 |
+"""
+
+_MERGED = """\
+| Phase | Week | Observation |
+|---|---|---|
+| Dosing | 1 | Normal |
+|  | 2 | Normal |
+|  | 3 | Reduced activity |
+| Recovery | 4 | Normal |
+"""
+
+
+def test_docx_runs_structure_k6():
+    s = sinks.docx_table_runs(_EXPERIMENTAL)
+    assert s["num_rows"] == 3 and s["num_cols"] == 4 and s["header_row_count"] == 1
+    by_pos = {(c["row"], c["col"]): c for c in s["cells"]}
+    # header cell with a <br> break, bold (convert_table.py:70-101 semantics)
+    dose = by_pos[(0, 1)]
+    assert dose["bold"] is True
+    assert dose["runs"] == [
+        {"kind": "plain", "text": "Dose Level"},
+        {"kind": "break", "text": ""},
+        {"kind": "plain", "text": "(mg/kg)"},
+    ]
+    assert by_pos[(1, 0)]["bold"] is False
+    assert by_pos[(1, 0)]["runs"] == [{"kind": "plain", "text": "1"}]
+
+
+def test_docx_runs_superscript_k6():
+    from document_parser_spark.kernel import normalize_scripts
+
+    md = normalize_scripts("| Formula |\n|---|\n| H₂O¹ |")
+    s = sinks.docx_table_runs(md)
+    cell = [c for c in s["cells"] if c["row"] == 1][0]
+    assert cell["runs"] == [
+        {"kind": "plain", "text": "H"},
+        {"kind": "subscript", "text": "2O"},
+        {"kind": "superscript", "text": "1"},
+    ]
+
+
+def test_pdf_commands_k7():
+    plan = sinks.pdf_table_commands(_MERGED)
+    # the Dosing cell owns rows 1-3 of col 0 (convert_table_pdf.py:56-88)
+    assert ("SPAN", (0, 1), (0, 3)) in plan["span_commands"]
+    # covered cells are placeholders; owner keeps its text
+    assert plan["table_data"][1][0] == "Dosing"
+    assert plan["table_data"][2][0] == "" and plan["table_data"][3][0] == ""
+    # headers render bold, <br> becomes <br/> (convert_table_pdf.py:100-115)
+    assert plan["table_data"][0][0] == "<b>Phase</b>"
+    br = sinks.pdf_table_commands(_EXPERIMENTAL)
+    assert br["table_data"][0][1] == "<b>Dose Level<br/>(mg/kg)</b>"
+
+
+def test_file_writers_gated(workdir):
+    import os
+
+    os.makedirs(workdir, exist_ok=True)
+    for writer, ext in ((sinks.write_docx, "docx"), (sinks.write_pdf, "pdf")):
+        mod = "docx" if ext == "docx" else "reportlab"
+        try:
+            __import__(mod)
+            writer(_MERGED, f"{workdir}/out.{ext}")
+            assert os.path.getsize(f"{workdir}/out.{ext}") > 0
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                writer(_MERGED, f"{workdir}/out.{ext}")
+
+
+def test_export_table_runs_engine_side(spark, frames):
+    parsed, _ = frames
+    out = sinks.export_table_runs(
+        parsed.filter(parsed.doc_id == "fx-md-merged-cells")
+    ).collect()
+    assert out, "merged-cells fixture has one table span"
+    by_pos = {(r["row"], r["col"]): r for r in out}
+    owner = by_pos[(1, 0)]
+    assert (owner["span_min_row"], owner["span_max_row"]) == (1, 3)
+    assert owner["covered"] is False and by_pos[(2, 0)]["covered"] is True
+    assert by_pos[(0, 0)]["bold"] is True
+    assert [dict(x.asDict()) for x in by_pos[(1, 0)]["runs"]] == [
+        {"kind": "plain", "text": "Dosing"}
+    ]
