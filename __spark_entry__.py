@@ -648,9 +648,10 @@ sh AS (
   SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
   FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS g(i)
 ),
+hs AS (SELECT doc_id, sha256(shingle) AS s FROM sh),
 mins AS (
-  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
-  FROM sh, unnest(generate_series(0, 7)) AS t(h)
+  SELECT doc_id, h, min(substr(s, 8 * h + 1, 8)) AS mh
+  FROM hs, unnest(generate_series(0, 7)) AS t(h)
   GROUP BY doc_id, h
 ),
 sig AS (
@@ -1068,14 +1069,16 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 # Shared banded-LSH SQL scaffolding (mirrors operators/similarity.py exactly:
-# ±1 signs = md5-nibble parity, projections/dots/norms in int64, bands of 4).
-_SQL_LSH_COMMON = """
+# ±1 signs = md5-nibble parity, projections/dots/norms in int64, BANDS bands
+# of ROWS_PER_BAND planes — constants interpolated so SQL can't drift).
+_LSH_PLANES = similarity.BANDS * similarity.ROWS_PER_BAND
+_SQL_LSH_COMMON = f"""
 dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
 signs AS (
   SELECT p.plane, g.pos,
          CASE WHEN ('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':' || CAST(g.pos AS VARCHAR)), 1, 1))::INT % 2 = 1
               THEN 1 ELSE -1 END AS sign
-  FROM unnest(generate_series(0, 15)) AS p(plane),
+  FROM unnest(generate_series(0, {_LSH_PLANES - 1})) AS p(plane),
        dims, unnest(generate_series(0, dim - 1)) AS g(pos)
 ),
 ev AS (
@@ -1089,9 +1092,9 @@ proj AS (
   GROUP BY ev.vec_id, s.plane
 ),
 bb AS (
-  SELECT vec_id, plane // 4 AS band,
-         sum(CASE WHEN proj > 0 THEN 1 << (plane % 4) ELSE 0 END) AS bucket
-  FROM proj GROUP BY vec_id, plane // 4
+  SELECT vec_id, plane // {similarity.ROWS_PER_BAND} AS band,
+         sum(CASE WHEN proj > 0 THEN 1 << (plane % {similarity.ROWS_PER_BAND}) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, plane // {similarity.ROWS_PER_BAND}
 ),
 norms AS (SELECT vec_id, sum(ival * ival) AS nsq FROM ev GROUP BY vec_id)
 """

@@ -132,7 +132,12 @@ def run_queries(spark, sf_dir: str) -> dict:
         t0 = time.monotonic()
         fn(emb, q, k=10).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
-    return times
+    # ANN quality: recall@10 of the banded-LSH path vs the exact brute force
+    # (VERDICT.md round-1 item 3 — quantify what single-bucket probing lost).
+    bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=10).collect()}
+    ls = {(r["query_id"], r["vec_id"]) for r in lsh_bucketed_topk(emb, q, k=10).collect()}
+    extras = {"ann_lsh_recall_at_10": round(len(bf & ls) / max(len(bf), 1), 3)}
+    return times, extras
 
 
 def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | None = None) -> dict:
@@ -144,7 +149,7 @@ def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | N
     ext = run_extraction(spark, docs or extraction_docs(sf))
     result["extract"] = ext
     if not extract_only:
-        result["queries"] = run_queries(spark, sf_dir)
+        result["queries"], result["query_extras"] = run_queries(spark, sf_dir)
     spark.stop()
     return result
 
@@ -248,6 +253,7 @@ def main() -> None:
         "extract_docs_per_sec": round(result["extract"]["docs_per_sec"], 1),
         "extract_docs": result["extract"]["docs"],
         "extract_spans": result["extract"]["spans"],
+        **result.get("query_extras", {}),
     }
     if args.scaling:
         payload["scaling"] = scaling_study(args.sf_dir)

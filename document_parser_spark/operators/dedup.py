@@ -52,41 +52,45 @@ def minhash_signatures(
     rows_per_band: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(doc_id, band, sig) — BANDED MinHash: per hash function h, the
-    lexicographic min of md5(h || ':' || shingle); band signature = md5 of
+    """(doc_id, band, sig) — BANDED MinHash: hash function h_i(shingle) is
+    the i-th 8-hex-char substring of ONE sha256 per shingle (8 independent
+    32-bit uniform hashes for the price of one digest — no 8× hash/row
+    explosion); per doc, min over shingles per h_i; band signature = md5 of
     the '|'-joined minima of that band's r hash functions (LSH b×r banding).
 
     r ≥ 2 means a candidate pair must agree on r independent minima at once —
     precision is p^r per band instead of p, which is what keeps candidate
     volume sane at corpus scale (round-1 used r=1: any shared min-shingle
-    paired two docs).  All string-min md5 math is bit-identical in DuckDB.
-    Docs with no shingles produce no signatures."""
-    exploded = _doc_shingles(df, text_col, shingle_k)
-    hashes = exploded.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
+    paired two docs).  sha256/md5 string math is bit-identical in DuckDB.
+    Docs with no shingles produce no signatures.
+
+    Plan shape: explode shingles → ONE groupBy(doc_id) with num_hashes
+    map-side-combined min aggregates → per-row band structs (no second
+    shuffle)."""
+    hs = _doc_shingles(df, text_col, shingle_k).select(
+        "doc_id", F.sha2(F.col("shingle"), 256).alias("s")
     )
-    mins = hashes.groupBy("doc_id", "h").agg(
-        F.min(
-            F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")))
-        ).alias("mh")
+    mins = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("s", 8 * i + 1, 8)).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    band = F.floor(F.col("h") / rows_per_band).cast("int")
-    return (
-        mins.withColumn("band", band)
-        .groupBy("doc_id", "band")
-        .agg(
+    bands = num_hashes // rows_per_band
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "mh"))),
-                        lambda s: s.mh,
-                    ),
+                    *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
                 )
-            ).alias("sig")
+            ).alias("sig"),
         )
+        for b in range(bands)
+    ]
+    return mins.select("doc_id", F.explode(F.array(*structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 

@@ -49,3 +49,27 @@ def test_lsh_results_subset_of_exact_candidates(spark, emb):
         key = (r["query_id"], r["vec_id"])
         assert key in exact_all
         assert r["cos_sim"] == pytest.approx(exact_all[key], rel=1e-6)
+
+
+def test_numpy_buckets_equal_column_buckets(spark, emb):
+    """The Arrow/numpy bucket path (production) must equal the pure-Column
+    integer formulation bit-for-bit — both mirror the DuckDB oracle."""
+    dim = similarity.probe_dim(emb)
+    fast = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in similarity.lsh_band_buckets(emb, dim).collect()
+    }
+    col_path = emb.select(
+        F.col("vec_id").alias("id"),
+        F.explode(
+            similarity._band_buckets_col(F.col("embedding"), dim)
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    slow = {(r["id"], r["band"]): r["bucket"] for r in col_path.collect()}
+    assert fast == slow and len(fast) == emb.count() * similarity.BANDS
+
+
+def test_near_dup_pairs_verified(spark, emb):
+    out = similarity.cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    assert all(r["cos_sim"] >= 0.3 and r["id_a"] < r["id_b"] for r in out)
+    assert len(out) == len({(r["id_a"], r["id_b"]) for r in out})
