@@ -1,0 +1,92 @@
+"""Dedup-operator semantics: prefix-filtered n-gram Jaccard must equal the
+exhaustive definition exactly; banded MinHash must find verified near-dups
+with exact integer set arithmetic."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_parser_spark.operators import dedup
+
+DOCS = [
+    # (doc_id, lang, source, text)
+    (1, "en", "web", "alpha beta gamma delta epsilon zeta"),
+    (2, "en", "web", "alpha beta gamma delta epsilon eta"),      # ~0.71 vs 1
+    (3, "en", "web", "the the the the completely different words here"),
+    (4, "en", "web", "the unrelated body of text with shared stopword only"),
+    (5, "en", "web", "alpha beta gamma delta epsilon zeta"),     # exact dup of 1
+    (6, "fr", "web", "alpha beta gamma delta epsilon zeta"),     # other block
+    (7, "en", "pdf", "alpha beta gamma delta epsilon zeta"),     # other block
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, lang string, source string, text string")
+
+
+def _exhaustive_pairs(threshold_pct):
+    """Brute-force oracle: distinct-word Jaccard within (lang, source) blocks."""
+    out = []
+    for (ida, la, sa, ta), (idb, lb, sb, tb) in itertools.combinations(DOCS, 2):
+        if (la, sa) != (lb, sb):
+            continue
+        a, b = set(ta.split()), set(tb.split())
+        inter, union = len(a & b), len(a | b)
+        if 100 * inter >= threshold_pct * union:
+            lo, hi = min(ida, idb), max(ida, idb)
+            out.append((lo, hi, inter, union))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("threshold", [50, 80])
+def test_prefix_filter_equals_exhaustive(docs, threshold):
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold_pct=threshold).collect()
+    )
+    assert got == _exhaustive_pairs(threshold)
+
+
+def test_hot_word_only_pairs_below_threshold_excluded(docs):
+    """Docs 3 and 4 share only 'the' (J well under 50%) — must not pair,
+    and exact dup (1,5) must pair with J=1."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold_pct=50).collect()
+    }
+    assert (3, 4) not in pairs
+    assert pairs[(1, 5)][0] == pairs[(1, 5)][1]  # identical word sets
+
+
+def test_minhash_near_dup_verified(spark):
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (10, base),
+        (11, base),                                  # exact dup → J=1
+        (12, base + " eleven"),                      # near dup (8/9 shingles k=3)
+        (13, "totally different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.minhash_near_dup_pairs(df, shingle_k=3, threshold_pct=50).collect()
+    }
+    assert (10, 11) in out and out[(10, 11)][0] == out[(10, 11)][1]
+    assert (10, 12) in out  # 8 shared shingles of 9 → J = 8/10 ≥ 0.5
+    assert all(13 not in pair for pair in out)
+    # every emitted pair satisfies the integer threshold by construction
+    assert all(100 * i >= 50 * u for i, u in out.values())
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, shingle_k=3).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["sig"]
+    assert set(by_doc[1]) == {0, 1, 2, 3}  # 8 hashes / r=2 → 4 bands
+    assert by_doc[1] == by_doc[2]  # identical text → identical band sigs

@@ -115,3 +115,53 @@ def test_fuzzy_filter_stays_codegen(spark):
     assert "EvalPython" not in plan
     # "*(n)" node prefixes mark whole-stage-codegen spans in the plan string
     assert "*(" in plan
+
+
+def test_curate_corpus_is_join_free(spark):
+    """Round-2 fix (VERDICT #7): quality/language are columns on the
+    canonical survivors — the only shuffles are the dedup window and the
+    final sort, with zero joins."""
+    from document_parser_spark.operators.curation import curate_corpus
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(curate_corpus(d, keep_langs=("en", "fr")))
+    assert "Join" not in plan, plan
+
+
+def test_ngram_jaccard_all_equi_joins(spark):
+    """Prefix-filtered Jaccard must stay hash-join shaped: no cartesian or
+    nested-loop fallback anywhere in candidate generation or verify."""
+    from document_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang", "source", "text")
+    plan = plan_of(ngram_jaccard_pairs(d, threshold_pct=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_mins_combine_map_side(spark):
+    """The 8 per-doc minima aggregate partially before the shuffle —
+    shuffled bytes are (doc_id, 8×8 chars), never the shingle stream."""
+    from document_parser_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(minhash_signatures(d, shingle_k=5))
+    assert "partial_min" in plan
+    full = plan_of(minhash_near_dup_pairs(d, shingle_k=5))
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_lsh_topk_is_bucket_equi_join(spark):
+    """ANN candidates come from a (band, bucket) equi-join — the plan must
+    contain no cross join; buckets are computed in ONE Arrow stage."""
+    from document_parser_spark.operators import similarity
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    plan = plan_of(similarity.lsh_bucketed_topk(e, q, k=10))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized bucket UDF, not per-row
