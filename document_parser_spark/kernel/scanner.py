@@ -49,12 +49,21 @@ _REPEAT_MAX_LEN = 80
 _DENSITY_MIN = 0.35
 
 
+# ASCII bytes whose chr().isalnum() is True — lets the common (ASCII) case
+# count alphanumerics with one C-level bytes.translate instead of a per-char
+# Python loop (text_density was ~30% of the whole parse kernel).
+_ASCII_ALNUM = bytes(i for i in range(128) if chr(i).isalnum())
+
+
 def text_density(stripped: str) -> float:
     """Alphanumeric density of a line (1.0 for pure prose, 0.0 for pure
     decoration); 0.0 for empty."""
     body = stripped.replace(" ", "")
     if not body:
         return 0.0
+    if body.isascii():
+        raw = body.encode()
+        return (len(raw) - len(raw.translate(None, _ASCII_ALNUM))) / len(raw)
     return sum(ch.isalnum() for ch in body) / len(body)
 
 

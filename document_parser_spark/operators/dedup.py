@@ -155,39 +155,34 @@ def _word_hash16(word: Column) -> Column:
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Frequency-weighted SimHash over word hashes: bit i of the fingerprint
     is 1 iff the count-weighted ±1 sum over words at bit i is positive.
-    Everything is integer arithmetic → exact SQL oracle."""
+    Everything is integer arithmetic → exact SQL oracle.
+
+    Plan shape: the per-bit sums are ``bits`` aggregate COLUMNS in one
+    groupBy(doc_id) — all partial-aggregated map-side — instead of a
+    bits× row explode + two shuffles (the round-1 shape; a 16× row blow-up
+    on the (doc, word) stream is real money at corpus scale)."""
     word_counts = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", _word_hash16(F.col("w")))
     )
-    per_bit = (
-        word_counts.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
+    bit_sums = word_counts.groupBy("doc_id").agg(
+        *[
             F.sum(
-                # shiftright() needs a literal shift; a column shift is SQL-only.
-                F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("cnt"))
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("cnt"))
                 .otherwise(-F.col("cnt"))
-            ).alias("s")
-        )
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .orderBy("doc_id")
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH_BITS) -> DataFrame:
