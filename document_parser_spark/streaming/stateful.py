@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY.md §2.13 — the reference is batch-only;
+this is the streaming twin of the W3 sessionize operator, same gap rule as
+the batch `sessionize_events` contract query).
+
+State model per user: (session_start_us, last_event_us, n_events).
+A session CLOSES when a later event arrives more than ``gap`` after the
+last one (emitted immediately), or when the event-time watermark passes
+``last_event + gap`` (event-time timeout — emitted without needing another
+event).  Exactly-once per session given checkpointed state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 600,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, ts, …) event stream → closed-session stream.
+
+    Late data beyond ``watermark`` is dropped by the engine; in-order and
+    mildly-late events fold into the open session.  The per-group batch is
+    sorted in-UDF so intra-batch order never matters."""
+    gap_us = gap_sec * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+
+        def emit(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(
+                pdf[ts_col].astype("datetime64[us]").astype("int64").tolist()
+            )
+        for t in sorted(ts_all):
+            if last_us is not None and t - last_us > gap_us:
+                yield emit(start_us, last_us, n)
+                start_us, n = None, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+            # close via event-time timeout once the watermark passes the gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
