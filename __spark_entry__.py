@@ -796,6 +796,88 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_repetition_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(d).orderBy("doc_id")
+
+
+_SQL_REPETITION_STATS = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+uni AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, CAST(max(cnt) AS BIGINT) AS top_word_count
+  FROM (SELECT doc_id, u.w, count(*) AS cnt FROM w, unnest(ws) AS u(w) GROUP BY doc_id, u.w)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(max(cnt) AS BIGINT) AS top_bigram_count
+  FROM (
+    SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS b, count(*) AS cnt
+    FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+    GROUP BY doc_id, array_to_string(ws[i:i+1], ' ')
+  )
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(u.n_words, 0) AS n_words,
+       coalesce(u.n_distinct_words, 0) AS n_distinct_words,
+       coalesce(u.top_word_count, 0) AS top_word_count,
+       coalesce(b.n_bigrams, 0) AS n_bigrams,
+       coalesce(b.top_bigram_count, 0) AS top_bigram_count
+FROM documents d LEFT JOIN uni u ON u.doc_id = d.doc_id LEFT JOIN bg b ON b.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_scrub_pii(spark, sf_dir):
+    """PII masking over probe text (the corpus carries no emails/URLs, so a
+    raw-text scrub would be green-by-vacuity — probes are injected
+    deterministically from doc_id, mirrored exactly in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    probe = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" page"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return text.scrub_pii(d.select("doc_id", probe.alias("text"))).orderBy("doc_id")
+
+
+_SQL_SCRUB_PII = r"""
+WITH probes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now'
+              WHEN doc_id % 3 = 1
+              THEN text || ' see https://example.com/d/' || CAST(doc_id AS VARCHAR) || ' page'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+FROM probes ORDER BY doc_id
+"""
+
+
 def _q_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.fingerprints(d, shingle_words=5).orderBy("doc_id")
@@ -1278,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "language_id": _q_language_id,
+        "repetition_stats": _q_repetition_stats,
+        "scrub_pii": _q_scrub_pii,
         "fingerprints": _q_fingerprints,
         # dedup (near-pair variants)
         "simhash_near_pairs": _q_simhash_near,
@@ -1321,6 +1405,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _SQL_TOKEN_STATS,
         "quality_scores": _SQL_QUALITY,
         "language_id": _SQL_LANGUAGE_ID,
+        "repetition_stats": _SQL_REPETITION_STATS,
+        "scrub_pii": _SQL_SCRUB_PII,
         "fingerprints": _SQL_FINGERPRINTS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH,

@@ -259,8 +259,9 @@ def main() -> None:
         payload["scaling"] = scaling_study(args.sf_dir)
     else:
         payload["scaling_evidence"] = (
-            "run `python bench.py --scaling`; measured round-1 numbers in "
-            "BASELINE.md: 4→16 cores 2921→9489 docs/s, efficiency 0.81"
+            "run `python bench.py --scaling`; measured round-2 numbers in "
+            "BASELINE.md: 4→16 cores 3254→12110 docs/s, efficiency 0.93 "
+            "(hw control 0.65 in the same window)"
         )
     print(json.dumps(payload))
 

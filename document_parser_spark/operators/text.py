@@ -155,6 +155,74 @@ def fingerprints(df: DataFrame, text_col: str = "text", shingle_words: int = 3) 
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: top-word fraction and
+    top-bigram fraction as exact integers (numerator/denominator pairs — the
+    training pipeline filters on e.g. ``top_word_count * 10 > n_words * 3``).
+
+    Shape: two explode → partial-aggregated groupBy passes joined on doc_id;
+    no window over the word stream, no per-row maps — the 100 TB-safe way to
+    take a per-doc mode."""
+    t = F.col(text_col)
+    unigrams = (
+        df.select("doc_id", F.explode(words(t)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("cnt").alias("top_word_count"),
+        )
+    )
+    bigrams = (
+        df.select("doc_id", F.explode(word_shingles(t, 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_count"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select("doc_id")
+        .join(unigrams, "doc_id", "left")
+        .join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_distinct_words", zero).alias("n_distinct_words"),
+            F.coalesce("top_word_count", zero).alias("top_word_count"),
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+            F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+        )
+    )
+
+
+#: PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
+#: oracle is byte-identical.  URLs scrub FIRST (an URL userinfo section
+#: would otherwise leave an email-shaped remnant).
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RX = r"https?://[^\s]+"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails and URLs with typed placeholders; report match counts.
+    Pure Column regex — codegen, no UDF."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, URL_RX, "<URL>"), EMAIL_RX, "<EMAIL>"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(URL_RX)).cast("long").alias("n_urls"),
+        F.regexp_count(t, F.lit(EMAIL_RX)).cast("long").alias("n_emails"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Consecutive k-word shingles joined by a single space (empty array when
     the doc has fewer than k words)."""
