@@ -170,7 +170,8 @@ def _q_search_anywhere(spark, sf_dir):
     # 'Normal' lands in DATA cells of the md-merged-cells fixture ('mg/kg'
     # only ever occurs in header rows — the reference's own header heuristic
     # swallows every md-numeric-units row, so that query was 0 rows).
-    out = search.search_anywhere(_cells(spark, sf_dir), "Normal", max_results=10)
+    # max_results=5 < the 6 corpus matches, so the top-k limit genuinely cuts.
+    out = search.search_anywhere(_cells(spark, sf_dir), "Normal", max_results=5)
     return (
         out.withColumn("header_levels", F.to_json("header_levels"))
         .withColumn("table_index", F.col("table_index").cast("long"))
@@ -187,7 +188,7 @@ SELECT doc_id, table_index, table_source, table_title, table_type, row, col,
 FROM read_parquet('{_GOLDEN}/cells.parquet')
 WHERE contains(lower(text), 'normal')
 ORDER BY match_score DESC, doc_id, table_index, row, col
-LIMIT 10
+LIMIT 5
 """
 
 
@@ -940,9 +941,13 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 # ---- set operations (oracled) ------------------------------------------------
 
 def _q_anti_join(spark, sf_dir):
-    """Left-anti: customers that placed no orders (SURVEY.md §2.9)."""
+    """Left-anti: customers with no URGENT order (SURVEY.md §2.9).  Round 1
+    anti-joined against ALL orders, which is empty at every sf — a 0-row
+    result can't distinguish a working anti-join from a broken one."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -952,7 +957,9 @@ def _q_anti_join(spark, sf_dir):
 
 _SQL_ANTI_JOIN = """
 SELECT c_custkey, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
 
