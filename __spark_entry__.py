@@ -1216,6 +1216,72 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
+def _q_ivf_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+# IVF-flat mirror: md5-sampled centroids, integer-exact assignment/probe/
+# scoring — same ev/norms scaffolding as the LSH oracles.
+_SQL_IVF_TOPK = f"""
+WITH {_SQL_LSH_COMMON},
+cents AS (
+  SELECT vec_id AS cid FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cdots AS (
+  SELECT e.vec_id, c.cid, sum(e.ival * ec.ival) AS dot
+  FROM ev e
+  CROSS JOIN cents c
+  JOIN ev ec ON ec.vec_id = c.cid AND ec.pos = e.pos
+  GROUP BY e.vec_id, c.cid
+),
+cscore AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE))) AS c_cos
+  FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rn
+    FROM cscore
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rn
+    FROM cscore WHERE vec_id < 5
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(ea.ival * eb.ival) AS dot
+  FROM cand c
+  JOIN ev ea ON ea.vec_id = c.vec_id
+  JOIN ev eb ON eb.vec_id = c.query_id AND eb.pos = ea.pos
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nq.nsq AS DOUBLE))) AS cos_sim
+  FROM dots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nq ON nq.vec_id = d.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 _SQL_EMBEDDING_NEAR_DUP = f"""
 WITH {_SQL_LSH_COMMON},
 cand AS (
@@ -1376,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_topk": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
         # multimodal / sink-side structure
         "media_features": _q_media_features,
         "merged_cell_spans": _q_merged_cell_spans,
@@ -1417,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH,
+        "ivf_topk": _SQL_IVF_TOPK,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         # parse surface vs golden-parquet kernel oracle (scripts/build_golden.py)
         "extract_spans": _SQL_EXTRACT_SPANS,

@@ -104,9 +104,14 @@ QUERY_NAMES = [
     "dedup_exact",
     "minhash_pairs",
     "simhash_docs",
+    "ngram_jaccard",
     "token_stats",
     "language_id",
+    "repetition_stats",
+    "scrub_pii",
     "fingerprints",
+    "curate_corpus",
+    "embedding_near_dup",
 ]
 
 
@@ -122,21 +127,31 @@ def run_queries(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
     # similarity on the fast native path (the exact variant is the oracle twin)
-    from document_parser_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+    from document_parser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
     from document_parser_spark.sources.session import load_table
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    for name, fn in [("ann_brute_force", brute_force_topk), ("ann_lsh", lsh_bucketed_topk)]:
+    for name, fn in [
+        ("ann_brute_force", brute_force_topk),
+        ("ann_lsh", lsh_bucketed_topk),
+        ("ann_ivf", ivf_topk),
+    ]:
         t0 = time.monotonic()
         fn(emb, q, k=10).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
-    # ANN quality: recall@10 of the banded-LSH path vs the exact brute force
-    # (VERDICT.md round-1 item 3 — quantify what single-bucket probing lost).
+    # ANN quality: recall@10 of each approximate path vs the exact brute
+    # force (VERDICT.md round-1 item 3 — quantify what probing lost).
     bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=10).collect()}
-    ls = {(r["query_id"], r["vec_id"]) for r in lsh_bucketed_topk(emb, q, k=10).collect()}
-    extras = {"ann_lsh_recall_at_10": round(len(bf & ls) / max(len(bf), 1), 3)}
+    extras = {}
+    for name, fn in [("ann_lsh", lsh_bucketed_topk), ("ann_ivf", ivf_topk)]:
+        approx = {(r["query_id"], r["vec_id"]) for r in fn(emb, q, k=10).collect()}
+        extras[f"{name}_recall_at_10"] = round(len(bf & approx) / max(len(bf), 1), 3)
     return times, extras
 
 

@@ -287,6 +287,96 @@ def lsh_bucketed_topk(
     )
 
 
+# --- IVF-flat (inverted-file) ANN ---------------------------------------------
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``nlist`` corpus vectors with the
+    smallest md5(vec_id) are the centroids (a reproducible uniform sample —
+    no RNG state, exactly mirrorable in SQL).  A k-means-refined quantizer
+    drops in here without touching the query path; the sampled quantizer
+    keeps the whole operator oracle-exact."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(nlist)
+    )
+
+
+def _nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_keep: int,
+    id_name: str,
+) -> DataFrame:
+    """Top-``n_keep`` centroids per vector by exact integer cosine
+    (ties → lowest cid).  Centroids broadcast; no shuffle of the corpus."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_name,
+        "cid",
+        cosine_exact(F.col("_vec"), F.col("c_vec")).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_name).orderBy(F.desc("c_cos"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_keep)
+        .select(id_name, "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: vectors live in their nearest centroid's inverted list;
+    a query probes its ``nprobe`` nearest centroids and brute-forces only
+    those lists (expected candidate fraction ≈ nprobe/nlist).  All cosine
+    math integer-exact → full DuckDB oracle; recall reported by bench.py."""
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col)
+    assign = _nearest_centroids(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")),
+        cents, 1, "vec_id",
+    )
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")),
+        cents, nprobe, "query_id",
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    e_vec = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(e_vec, "vec_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_exact(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

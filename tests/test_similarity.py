@@ -73,3 +73,25 @@ def test_near_dup_pairs_verified(spark, emb):
     out = similarity.cosine_near_dup_pairs(emb, threshold=0.3).collect()
     assert all(r["cos_sim"] >= 0.3 and r["id_a"] < r["id_b"] for r in out)
     assert len(out) == len({(r["id_a"], r["id_b"]) for r in out})
+
+
+def test_ivf_topk_candidates_from_probed_lists(spark, emb):
+    """IVF results must rank correctly within the probed lists and approach
+    the exact top-k from below (recall ≤ 1, deterministic)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(emb, q, k=10, nlist=16, nprobe=4).collect()
+    exact = similarity.brute_force_topk_exact(emb, q, k=10).collect()
+    assert {r["query_id"] for r in ivf} == {r["query_id"] for r in exact}
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # probing every list (nprobe == nlist) must reproduce exact top-k
+    full = similarity.ivf_topk(emb, q, k=10, nlist=16, nprobe=16).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in full} == {
+        (r["query_id"], r["vec_id"]) for r in exact
+    }
