@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-PLANES = 8          # legacy flat-bucket width (kept for compatibility)
 BANDS = 8           # banded LSH: number of bands
 ROWS_PER_BAND = 4   # hyperplanes per band (16 buckets each)
 # Recall model for sign-LSH: P(candidate) = 1 - (1 - p^r)^b with
