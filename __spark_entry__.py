@@ -679,6 +679,65 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the verified MinHash near-dup pairs — the
+    canonical-representative labeling a dedup pipeline keeps per cluster."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50)
+    return dedup.duplicate_clusters(pairs)
+
+
+# Same pair derivation as _SQL_MINHASH_PAIRS, then min-reachable-label per
+# node via a recursive CTE (the exact fixpoint the Spark propagation loop
+# converges to).
+_SQL_DEDUP_CLUSTERS = rf"""
+WITH RECURSIVE w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS g(i)
+),
+hs AS (SELECT doc_id, sha256(shingle) AS s FROM sh),
+mins AS (
+  SELECT doc_id, h, min(substr(s, 8 * h + 1, 8)) AS mh
+  FROM hs, unnest(generate_series(0, 7)) AS t(h)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id, h // 2 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS sig
+  FROM mins GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+dup_pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 100 * i.n_inter >= 50 * (sa.n_sh + sb.n_sh - i.n_inter)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.simhash(d)
@@ -1426,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         # text analysis + composed curation pipeline
@@ -1473,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _SQL_MINHASH_PAIRS,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "simhash_docs": _SQL_SIMHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "curate_corpus": _SQL_CURATE,

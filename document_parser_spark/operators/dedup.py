@@ -146,6 +146,62 @@ def minhash_near_dup_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every document that appears
+    in ≥1 pair is labeled with the MINIMUM doc_id reachable in its component
+    (the canonical representative a dedup pipeline keeps).
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors; converges in ≤ graph-diameter rounds
+    (near-dup components are shallow — chains longer than a few hops are
+    rare, and ``max_iter`` bounds the pathological case).  Each round is one
+    shuffle join + one aggregation; frames are persisted and convergence is
+    checked with a count, so the driver loop moves no data.  At extreme
+    scale the alternating large-star/small-star variant (same join shape)
+    drops in here.
+
+    Oracle: a recursive CTE enumerating reachable labels (exact same
+    fixpoint) — see _SQL_DEDUP_CLUSTERS in __spark_entry__.py."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).persist()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("n_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    return out
+
+
 def _word_hash16(word: Column) -> Column:
     """First 16 bits of md5 as a long — same in DuckDB via
     ``('0x' || substr(md5(w),1,4))::BIGINT``."""

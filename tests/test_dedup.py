@@ -90,3 +90,13 @@ def test_minhash_signature_shape(spark):
         by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["sig"]
     assert set(by_doc[1]) == {0, 1, 2, 3}  # 8 hashes / r=2 → 4 bands
     assert by_doc[1] == by_doc[2]  # identical text → identical band sigs
+
+
+def test_duplicate_clusters_chain(spark):
+    """A 4-node chain needs multiple propagation rounds to reach the global
+    min label; two disjoint components must keep separate labels."""
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
