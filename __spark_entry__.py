@@ -1202,6 +1202,50 @@ ORDER BY c.doc_id
 """
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (en 50%, fr 100%, rest 25%)."""
+    from document_parser_spark.operators.curation import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = stratified_sample(d, rates_pct={"en": 50, "fr": 100}, default_pct=25)
+    return out.select("doc_id", "lang", F.length("text").cast("long").alias("n_chars")).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100 ELSE 25 END
+ORDER BY doc_id
+"""
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Greedy token-budget shard packing per language (2,000 tokens/shard)."""
+    from document_parser_spark.operators.curation import pack_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_shards(d, budget_tokens=2000).orderBy("lang", "doc_id")
+
+
+_SQL_PACK_SHARDS = rf"""
+WITH toks AS (
+  SELECT lang, doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, CAST(before // 2000 AS BIGINT) AS shard_id
+FROM cum ORDER BY lang, doc_id
+"""
+
+
 # ---- banded sign-LSH (oracled: integer projections/buckets/cosine are exact) --
 
 def _q_ann_lsh(spark, sf_dir):
@@ -1495,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
+        "stratified_sample": _q_stratified_sample,
+        "pack_shards": _q_pack_shards,
         "fingerprints": _q_fingerprints,
         # dedup (near-pair variants)
         "simhash_near_pairs": _q_simhash_near,
@@ -1542,6 +1588,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _SQL_LANGUAGE_ID,
         "repetition_stats": _SQL_REPETITION_STATS,
         "scrub_pii": _SQL_SCRUB_PII,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "pack_shards": _SQL_PACK_SHARDS,
         "fingerprints": _SQL_FINGERPRINTS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH,

@@ -16,6 +16,66 @@ from pyspark.sql import functions as F
 from .text import language_best_struct, words
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict,
+    stratum_col: str = "lang",
+    default_pct: int = 100,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash sampling per stratum: keep a document iff
+    ``md5(salt:doc_id) % 100 < rate_pct(stratum)``.
+
+    Hash-based (not rand()) so the sample is REPRODUCIBLE across runs,
+    partitionings, and engines — resampling a petabyte corpus must not
+    depend on task scheduling.  The per-stratum rate is how a pretraining
+    mix downweights over-represented languages/sources.  Pure row-wise
+    filter: no shuffle, pushes below later stages."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.withColumn("_bucket", bucket).filter(F.col("_bucket") < rate).drop("_bucket")
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    part_cols: tuple = ("lang",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential shard packing: within each partition class, walk
+    documents in deterministic ``order_col`` order and assign each to the
+    shard where its first token lands (``floor(exclusive_cumsum / budget)``)
+    — the sequence-packing step that turns a curated corpus into
+    fixed-token-budget training shards.
+
+    One window shuffle per partition class; the cumulative sum is exact
+    integer arithmetic, so shard assignment is reproducible anywhere."""
+    t = F.col(text_col)
+    n_tokens = F.size(words(t)).cast("long")
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("shard_id", F.floor(cum_before / budget_tokens).cast("long"))
+        .select(*part_cols, order_col, "n_tokens", "shard_id")
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -100,3 +100,33 @@ def test_duplicate_clusters_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pack_shards_budget_property(spark):
+    """Greedy packing: a shard only exceeds the budget by its LAST document
+    (each doc goes to the shard where its first token lands), and shard ids
+    are contiguous from 0 within each partition class."""
+    from document_parser_spark.operators.curation import pack_shards
+
+    rows = [(i, "en", "w " * (50 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pack_shards(df, budget_tokens=300).collect()
+    shards = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["shard_id"], []).append(r["n_tokens"])
+    assert sorted(shards) == list(range(len(shards)))
+    for toks in shards.values():
+        assert sum(toks) - toks[-1] < 300  # without its last doc, under budget
+
+
+def test_stratified_sample_deterministic(spark):
+    from document_parser_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)], "doc_id long, lang string"
+    )
+    a = {r["doc_id"] for r in stratified_sample(df, {"en": 50}, default_pct=10).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, {"en": 50}, default_pct=10).collect()}
+    assert a == b and 0 < len(a) < 200
+    c = {r["doc_id"] for r in stratified_sample(df, {"en": 50}, default_pct=10, salt="other").collect()}
+    assert c != a  # different salt, different (still deterministic) sample
