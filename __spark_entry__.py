@@ -1330,7 +1330,7 @@ _SQL_IVF_TOPK = f"""
 WITH {_SQL_LSH_COMMON},
 cents AS (
   SELECT vec_id AS cid FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {similarity.NLIST}
 ),
 cdots AS (
   SELECT e.vec_id, c.cid, sum(e.ival * ec.ival) AS dot
@@ -1356,7 +1356,7 @@ probe AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rn
     FROM cscore WHERE vec_id < 5
-  ) WHERE rn <= 4
+  ) WHERE rn <= {similarity.NPROBE}
 ),
 cand AS (
   SELECT DISTINCT p.query_id, a.vec_id
@@ -1383,8 +1383,6 @@ ranked AS (
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
-
-
 _SQL_EMBEDDING_NEAR_DUP = f"""
 WITH {_SQL_LSH_COMMON},
 cand AS (

@@ -41,6 +41,10 @@ ROWS_PER_BAND = 4   # hyperplanes per band (16 buckets each)
 # b=4 ⇒ ~0.55 measured 0.58;  b=8 ⇒ ~0.80 — doubling bands doubles
 # candidate volume but keeps per-band selectivity (2^r buckets) unchanged.
 SCALE = 1e8         # float → int scaling (|val| ≤ 90 keeps 64·(9e9)² < 2^63)
+NLIST = 16          # IVF: inverted lists (coarse quantizer size)
+NPROBE = 6          # IVF: lists probed per query — measured recall@10 at
+                    # sf0.1: nprobe 4→0.48, 6→0.72, 8→0.76; 6 probes 37.5%
+                    # of lists for most of the recall
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -313,7 +317,7 @@ def lsh_bucketed_topk(
 
 def ivf_centroids(
     embeddings: DataFrame,
-    nlist: int = 16,
+    nlist: int = NLIST,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -356,8 +360,8 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nlist: int = 16,
-    nprobe: int = 4,
+    nlist: int = NLIST,
+    nprobe: int = NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
