@@ -52,6 +52,7 @@ def pack_shards(
     text_col: str = "text",
     part_cols: tuple = ("lang",),
     order_col: str = "doc_id",
+    bucket_width: int = 4096,
 ) -> DataFrame:
     """Greedy sequential shard packing: within each partition class, walk
     documents in deterministic ``order_col`` order and assign each to the
@@ -59,20 +60,50 @@ def pack_shards(
     — the sequence-packing step that turns a curated corpus into
     fixed-token-budget training shards.
 
-    One window shuffle per partition class; the cumulative sum is exact
-    integer arithmetic, so shard assignment is reproducible anywhere."""
+    Scale shape: a naive ``Window.partitionBy(lang)`` cumsum puts an entire
+    language through ONE reducer — a scale-killer when one class is most of
+    the corpus.  This computes the exclusive cumulative sum in TWO levels:
+    (1) intra-bucket window over (class, order_bucket) where
+    ``order_bucket = order_col div bucket_width`` (order-preserving), and
+    (2) per-bucket totals rolled into bucket offsets by a window over the
+    tiny (class, bucket) frame.  Both levels are exact integer arithmetic —
+    the result is identical to the single-window formulation
+    (tests/test_dedup.py asserts it) while the big window parallelizes
+    across ~corpus/bucket_width reducers.  ``order_col`` must cast to long
+    (dense ids; for arbitrary keys range-partition first)."""
     t = F.col(text_col)
-    n_tokens = F.size(words(t)).cast("long")
-    w = (
-        Window.partitionBy(*part_cols)
-        .orderBy(order_col)
+    base = df.select(
+        *part_cols,
+        F.col(order_col).alias("_ord"),
+        F.size(words(t)).cast("long").alias("n_tokens"),
+    ).withColumn("_bucket", F.floor(F.col("_ord").cast("long") / bucket_width))
+
+    intra = (
+        Window.partitionBy(*part_cols, "_bucket")
+        .orderBy("_ord")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    staged = base.withColumn(
+        "_before_in_bucket", F.coalesce(F.sum("n_tokens").over(intra), F.lit(0).cast("long"))
+    )
+
+    bucket_totals = base.groupBy(*part_cols, "_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_total")
+    )
+    offs = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_offsets = bucket_totals.withColumn(
+        "_offset", F.coalesce(F.sum("_bucket_total").over(offs), F.lit(0).cast("long"))
+    ).select(*part_cols, "_bucket", "_offset")
+
+    cum_before = F.col("_offset") + F.col("_before_in_bucket")
     return (
-        df.withColumn("n_tokens", n_tokens)
+        staged.join(bucket_offsets, on=[*part_cols, "_bucket"])
         .withColumn("shard_id", F.floor(cum_before / budget_tokens).cast("long"))
-        .select(*part_cols, order_col, "n_tokens", "shard_id")
+        .select(*part_cols, F.col("_ord").alias(order_col), "n_tokens", "shard_id")
     )
 
 

@@ -130,3 +130,38 @@ def test_stratified_sample_deterministic(spark):
     assert a == b and 0 < len(a) < 200
     c = {r["doc_id"] for r in stratified_sample(df, {"en": 50}, default_pct=10, salt="other").collect()}
     assert c != a  # different salt, different (still deterministic) sample
+
+
+def test_pack_shards_two_level_equals_single_window(spark):
+    """The bucketed two-level cumsum must reproduce the naive one-window
+    formulation exactly (small bucket width forces many buckets)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators.curation import pack_shards
+    from document_parser_spark.operators.text import words
+
+    rows = [(i, "en" if i % 3 else "fr", "tok " * (11 + (i * 7) % 90)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(df, budget_tokens=500, bucket_width=16).collect()
+    }
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        df.withColumn("n_tokens", F.size(words(F.col("text"))).cast("long"))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")) / 500
+            ).cast("long"),
+        )
+    )
+    want = {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["shard_id"]) for r in naive.collect()
+    }
+    assert got == want
