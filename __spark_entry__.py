@@ -1202,6 +1202,40 @@ ORDER BY c.doc_id
 """
 
 
+def _q_gopher_gate(spark, sf_dir):
+    """Gopher-style quality gate: word-count band, mean-word-length band,
+    stopword evidence, top-word repetition cap — integer arithmetic only."""
+    from document_parser_spark.operators.curation import gopher_gate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_gate(d)
+
+
+_SQL_GOPHER_GATE = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+rowwise AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(ws, x -> lower(x) IN
+             ('the','and','of','to','a','in','is','that','for','with'))) AS BIGINT) AS stopword_hits,
+         CAST(len(ws) AS BIGINT) AS n_words
+  FROM w
+),
+top AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_count
+  FROM (SELECT doc_id, u.w, count(*) AS cnt FROM w, unnest(ws) AS u(w) GROUP BY doc_id, u.w)
+  GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_words, r.sum_word_len, r.stopword_hits, t.top_word_count
+FROM rowwise r JOIN top t ON t.doc_id = r.doc_id
+WHERE r.n_words >= 25 AND r.n_words <= 100000
+  AND r.sum_word_len >= 3 * r.n_words AND r.sum_word_len <= 10 * r.n_words
+  AND r.stopword_hits >= 2
+  AND 100 * t.top_word_count <= 10 * r.n_words
+ORDER BY r.doc_id
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (en 50%, fr 100%, rest 25%)."""
     from document_parser_spark.operators.curation import stratified_sample
@@ -1537,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
+        "gopher_gate": _q_gopher_gate,
         "stratified_sample": _q_stratified_sample,
         "pack_shards": _q_pack_shards,
         "fingerprints": _q_fingerprints,
@@ -1586,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _SQL_LANGUAGE_ID,
         "repetition_stats": _SQL_REPETITION_STATS,
         "scrub_pii": _SQL_SCRUB_PII,
+        "gopher_gate": _SQL_GOPHER_GATE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_shards": _SQL_PACK_SHARDS,
         "fingerprints": _SQL_FINGERPRINTS,

@@ -13,7 +13,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import language_best_struct, words
+from .text import STOPWORDS, language_best_struct, repetition_stats, words
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopword_hits: int = 2,
+    max_top_word_pct: int = 10,
+) -> DataFrame:
+    """Gopher-style document quality gate (public heuristic family): keep a
+    document iff word count, mean word length, stopword evidence, and
+    top-word repetition all sit in the healthy band.  All comparisons are
+    integer cross-multiplications (``min_mwl·n ≤ Σlen ≤ max_mwl·n``,
+    ``100·top ≤ pct·n``) so the gate is bit-identical in any engine.
+
+    Shape: repetition signals come from the explode+groupBy pass
+    (repetition_stats); the rest is row-wise — one join total."""
+    t = F.col(text_col)
+    w = words(t)
+    rowwise = df.select(
+        "doc_id",
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "sum_word_len"
+        ),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS["en"])))
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+    rep = repetition_stats(df, text_col).select("doc_id", "n_words", "top_word_count")
+    joined = rep.join(rowwise, "doc_id")
+    n = F.col("n_words")
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (F.col("sum_word_len") >= min_mean_word_len * n)
+        & (F.col("sum_word_len") <= max_mean_word_len * n)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.lit(100) * F.col("top_word_count") <= max_top_word_pct * n)
+    )
+    return joined.filter(keep).select(
+        "doc_id", "n_words", "sum_word_len", "stopword_hits", "top_word_count"
+    ).orderBy("doc_id")
 
 
 def stratified_sample(
