@@ -103,6 +103,103 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id string, media_ref string, media_kind string, "
+    "src_width int, src_height int, width int, height int, data binary"
+)
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, media_kind string, "
+    "frame_idx int, frame_ts_ms long, frame_data binary"
+)
+
+
+def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
+    """Image resize over the binary column: dims shrink to fit ``max_px``
+    preserving aspect ratio.  Real implementation is PIL ``thumbnail`` at
+    the marked seam; without the codec the ORIGINAL bytes pass through with
+    the recomputed dims (deterministic stub) — the Spark-side contract
+    (mapInPandas batch shape, binary in/out, typed dims) is the real part."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.data) if r.data is not None else b""
+                sw, sh, _ = _decode_image(data)
+                scale = min(max_px / sw, max_px / sh, 1.0)
+                out_w, out_h = max(int(sw * scale), 1), max(int(sh * scale), 1)
+                try:  # pragma: no cover - PIL absent in this container
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data))
+                    img.thumbnail((max_px, max_px))
+                    buf = io.BytesIO()
+                    img.save(buf, format=img.format or "PNG")
+                    out_bytes = buf.getvalue()
+                except ImportError:
+                    out_bytes = data  # stub: metadata real, pixels untouched
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "media_ref": r.media_ref,
+                        "media_kind": r.media_kind,
+                        "src_width": sw,
+                        "src_height": sh,
+                        "width": out_w,
+                        "height": out_h,
+                        "data": out_bytes,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "media_kind", "src_width",
+                         "src_height", "width", "height", "data"],
+            )
+
+    return media.filter(F.col("media_kind") == "image").mapInPandas(
+        op, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video/audio frame sampling: one output row per sampled frame/window
+    (mapInPandas row-expansion — the batch can GROW, which is the plumbing
+    a real ffmpeg-backed sampler needs).  Frame count and bytes are
+    deterministic stubs behind the same codec seam; timestamps are exact
+    ``frame_idx · every_ms``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.data) if r.data is not None else b""
+                n = _frame_sample(data, r.media_kind)
+                for i in range(n):
+                    digest = hashlib.sha256(data + i.to_bytes(4, "big")).digest()
+                    rows.append(
+                        {
+                            "doc_id": r.doc_id,
+                            "media_ref": r.media_ref,
+                            "media_kind": r.media_kind,
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame_data": digest,  # stub: real path decodes
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "media_kind", "frame_idx",
+                         "frame_ts_ms", "frame_data"],
+            )
+
+    return media.filter(F.col("media_kind") != "image").mapInPandas(
+        op, schema=FRAME_SCHEMA
+    )
+
+
 def synthetic_media_for(spans_input: DataFrame) -> DataFrame:
     """Deterministic media side-table for every media span in an input table
     — bytes derived from (doc_id, media_ref), so tests need no real files."""

@@ -89,3 +89,39 @@ def test_media_resolution_join(spark):
         F.size("spans")
     ).first()[0]
     assert len(rows) == total_spans
+
+
+def test_resize_media_plumbing(spark):
+    from document_parser_spark.operators.multimodal import resize_media
+
+    inp = fixture_input_df(spark)
+    media = synthetic_media_for(inp)
+    out = resize_media(media, max_px=100).collect()
+    assert out and all(r["media_kind"] == "image" for r in out)
+    for r in out:
+        assert 1 <= r["width"] <= 100 and 1 <= r["height"] <= 100
+        assert r["src_width"] >= r["width"] and r["src_height"] >= r["height"]
+        # aspect preserved within integer truncation
+        assert abs(r["width"] / r["src_width"] - r["height"] / r["src_height"]) < 0.05
+        assert r["data"] is not None
+
+
+def test_sample_frames_plumbing(spark):
+    import pyspark.sql.types as T
+    from document_parser_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        ("d1", "clip.mp4", "video", b"\x01" * 37),   # 1 + 37 % 32 = 6 frames
+        ("d1", "talk.mp3", "audio", b"\x02" * 3),    # 4 frames
+        ("d1", "pic.png", "image", b"\x03"),         # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_ms=500).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert set(by_ref) == {"clip.mp4", "talk.mp3"}
+    assert len(by_ref["clip.mp4"]) == 6 and len(by_ref["talk.mp3"]) == 4
+    clip = sorted(by_ref["clip.mp4"], key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in clip] == [0, 500, 1000, 1500, 2000, 2500]
+    assert len({bytes(r["frame_data"]) for r in clip}) == 6  # distinct frames
