@@ -20,6 +20,8 @@ from __future__ import annotations
 import random
 from typing import Any, Dict, Iterator, List
 
+from .kernel.html import looks_like_html as _looks_like_html
+
 # --- hand-crafted fixture classes (FIXTURES.md §2) ---------------------------
 
 _SCIENTISTS_TABLE = """\
@@ -236,7 +238,53 @@ _EDGE_REGEXY = (
     "| p.*n | q[1] |\n|---|---|\n| ^start$ | (group) |\n| a\\\\b | c{2,3} |"
 )
 
+# HTML fixture classes (north rule: DOM tokenization + tag-depth/link-density
+# boilerplate; semantics frozen by kernel/html.py + tests/test_html_kernel.py).
+_HTML_BASIC = """\
+<!DOCTYPE html>
+<html><head><title>Report 7</title><style>.x{color:red}</style></head>
+<body>
+<nav><a href="/">Home</a> | <a href="/studies">Studies</a></nav>
+<h1>Quarterly Study Report</h1>
+<p>Primary findings paragraph with substantive content about dosing.</p>
+<img src="fig_html_1.png">
+<table><caption>Table 9: Dose Summary</caption>
+<tr><th>Group</th><th>Dose (mg/kg)</th></tr>
+<tr><td>1</td><td>0</td></tr>
+<tr><td>2</td><td>50</td></tr>
+</table>
+<div><a href="/a">related one</a> <a href="/b">related two</a></div>
+<footer>Copyright line in the footer</footer>
+</body></html>
+"""
+
+_HTML_VERTICAL = """\
+<html><body>
+<h2>STUDY CONTACTS</h2>
+<table>
+<tr><td>Pathology</td><td>Dr. Maria Chen</td></tr>
+<tr><td>Clinical Assessment</td><td>Dr. James Wright</td></tr>
+<tr><td>Study Director</td><td>Dr. Priya Natarajan</td></tr>
+</table>
+<p>Closing prose after the contacts table.</p>
+</body></html>
+"""
+
+_HTML_DEEP_BOILER = """\
+<html><body>
+<p>Real content at sane depth stays text.</p>
+<div><div><div><div><div><div><div><div><div><div><div><div><div>
+decoration wrapped far too deep to be content
+</div></div></div></div></div></div></div></div></div></div></div></div></div>
+<p>=== ---- ====</p>
+<p>Final real paragraph closes the page.</p>
+</body></html>
+"""
+
 FIXTURE_CLASSES: Dict[str, str] = {
+    "html-basic": _HTML_BASIC,
+    "html-vertical-kv": _HTML_VERTICAL,
+    "html-deep-boiler": _HTML_DEEP_BOILER,
     "edge-crlf": _EDGE_CRLF,
     "edge-tabs": _EDGE_TABS,
     "edge-eof-table": _EDGE_EOF_TABLE,
@@ -268,7 +316,16 @@ def fixture_documents() -> List[Dict[str, Any]]:
         {"doc_id": f"fx-{name}", "text": text} for name, text in FIXTURE_CLASSES.items()
     ]
     docs.append(
-        {"doc_id": "fx-composite", "text": "\n".join(FIXTURE_CLASSES.values())}
+        {
+            "doc_id": "fx-composite",
+            # markdown classes only: a composite starting with <!DOCTYPE
+            # would dispatch the whole doc to the HTML kernel (html-cells
+            # stays in — it's markdown with <br> cells, the sniff knows)
+            "text": "\n".join(
+                text for text in FIXTURE_CLASSES.values()
+                if not _looks_like_html(text)
+            ),
+        }
     )
     # md-pathological: far above median size, 120 tables + long prose runs.
     chunks = []

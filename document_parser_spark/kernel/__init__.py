@@ -6,6 +6,7 @@ fixture corpus and (b) the bodies of the vectorized Arrow UDFs in
 distributed pipeline matches the oracle by construction.
 """
 
+from .html import looks_like_html, parse_html_document, scan_html
 from .normalize import clean_cell, clean_cell_basic, normalize_scripts, split_script_runs
 from .pipeline import infer_merged_spans, parse_document, parse_table_sink_dialect
 from .predicates import (
@@ -57,11 +58,14 @@ __all__ = [
     "is_separator_row",
     "is_table_row",
     "levenshtein_similarity",
+    "looks_like_html",
     "match_text",
     "normalize_scripts",
     "parse_document",
+    "parse_html_document",
     "parse_table_block",
     "parse_table_sink_dialect",
+    "scan_html",
     "scan_markdown",
     "split_script_runs",
     "split_row",

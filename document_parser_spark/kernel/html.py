@@ -1,0 +1,268 @@
+"""HTML → span-stream kernel (pure Python, stdlib ``html.parser`` only).
+
+The north rule requires HTML main-content extraction — DOM tokenization,
+boilerplate stripping via text-density AND tag-depth heuristics, media
+re-threading — which the reference (markdown-only) never implements.  These
+semantics are therefore OURS to define and freeze (SURVEY.md H9 note):
+the heuristics below follow the published Boilerpipe/jusText family
+(link-density, structural-tag ancestry, text density) and are pinned by the
+golden fixtures + tests, exactly like the markdown kernel.
+
+Span conventions (shared with scanner.py):
+  * kind ∈ {text, heading, table, media, caption, boilerplate};
+  * ``offset`` = block emission index in document order (HTML has no
+    meaningful source lines — the stream position generalizes line_start);
+  * a <table> is ONE span whose text is the canonical markdown
+    serialization (so every downstream table-span consumer — sink-dialect
+    reparse, merged-span inference, export — works unchanged), plus a
+    structured table via the SAME H1–H8 heuristics as markdown.
+
+Boilerplate rules (frozen):
+  * inside <nav>/<header>/<footer>/<aside> → boilerplate (structural tags);
+  * link density ≥ 0.8 (chars under <a> / block chars) → boilerplate;
+  * tag depth at block start > 12 → boilerplate (decoration wrappers);
+  * text density < 0.35 (scanner._DENSITY_MIN) → boilerplate;
+  * <script>/<style>/comments are dropped outright (code, not content).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Any, Dict, List, Optional, Tuple
+
+from .normalize import normalize_scripts
+from .scanner import _DENSITY_MIN, Span, text_density
+from .structure import extract_table_auto
+
+_BOILER_ANCESTORS = frozenset({"nav", "header", "footer", "aside"})
+_DROP_TAGS = frozenset({"script", "style", "title"})  # title = head metadata
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "li", "section", "article", "main", "ul", "ol", "blockquote",
+     "tr", "td", "th", "table", "caption", "body", "html", "figure", "figcaption"}
+)
+_HEADING_RX = re.compile(r"^h[1-6]$")
+_WS_RX = re.compile(r"\s+")
+
+MAX_CONTENT_DEPTH = 12
+LINK_DENSITY_MAX = 0.8
+
+_HTML_SNIFF_RX = re.compile(
+    r"(?is)^\s*<(?:!doctype|html|head|body|div|p[\s>]|h[1-6]|table|section|"
+    r"article|nav|ul|ol|main|header|footer)"
+)
+
+
+def looks_like_html(text: str) -> bool:
+    """Dispatch sniff: the document starts with a structural HTML tag.
+    Markdown docs (even ones with inline ``<br>`` cells) never do."""
+    return bool(_HTML_SNIFF_RX.match(text or ""))
+
+
+class _DomScanner(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.spans: List[Span] = []
+        self.raw_tables: List[Dict[str, Any]] = []
+        self._chunks: List[str] = []
+        self._chunk_depth = 0
+        self._chunk_boiler = False
+        self._link_chars = 0
+        self._depth = 0
+        self._boiler_depth = 0   # nesting inside _BOILER_ANCESTORS
+        self._drop_depth = 0     # nesting inside script/style
+        self._link_depth = 0
+        self._last_heading: Optional[str] = None
+        # table state
+        self._table_rows: Optional[List[List[str]]] = None
+        self._row: Optional[List[str]] = None
+        self._cell: Optional[List[str]] = None
+        self._caption: Optional[List[str]] = None
+
+    # --- emission ------------------------------------------------------------
+
+    def _offset(self) -> int:
+        return len(self.spans)
+
+    def _flush_text(self, heading: Optional[str] = None) -> None:
+        text = normalize_scripts(_WS_RX.sub(" ", "".join(self._chunks)).strip())
+        chunk_chars = len("".join(self._chunks).strip())
+        link_chars = self._link_chars
+        depth = self._chunk_depth
+        boiler = self._chunk_boiler
+        self._chunks, self._link_chars = [], 0
+        self._chunk_boiler = False
+        if not text:
+            return
+        if heading is not None:
+            self.spans.append(
+                {"kind": "heading", "text": text, "media_ref": None, "offset": self._offset()}
+            )
+            self._last_heading = text
+            return
+        is_boiler = (
+            boiler
+            or depth > MAX_CONTENT_DEPTH
+            or (chunk_chars > 0 and link_chars / chunk_chars >= LINK_DENSITY_MAX)
+            or text_density(text) < _DENSITY_MIN
+        )
+        self.spans.append(
+            {
+                "kind": "boilerplate" if is_boiler else "text",
+                "text": text,
+                "media_ref": None,
+                "offset": self._offset(),
+            }
+        )
+
+    def _emit_table(self) -> None:
+        rows = [r for r in (self._table_rows or []) if any(c.strip() for c in r)]
+        caption = normalize_scripts(
+            _WS_RX.sub(" ", "".join(self._caption or [])).strip()
+        )
+        self._table_rows, self._row, self._cell, self._caption = None, None, None, None
+        if len(rows) < 2:
+            return
+        width = max(len(r) for r in rows)
+        padded = [[c.strip() for c in r] + [""] * (width - len(r)) for r in rows]
+        title = caption or (self._last_heading or "")
+        raw = {
+            "headers": padded[0],
+            "rows": padded[1:],
+            "title": title,
+            "line_start": self._offset(),
+            "line_end": self._offset(),
+        }
+        self.raw_tables.append(raw)
+        serialized = "\n".join(
+            ["| " + " | ".join(padded[0]) + " |", "|" + "---|" * width]
+            + ["| " + " | ".join(r) + " |" for r in padded[1:]]
+        )
+        self.spans.append(
+            {"kind": "table", "text": serialized, "media_ref": None, "offset": self._offset()}
+        )
+
+    # --- HTMLParser hooks ------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._depth += 1
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag in _BOILER_ANCESTORS:
+            self._flush_text()
+            self._boiler_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "img":
+            src = dict(attrs).get("src")
+            if src:
+                self._flush_text()
+                self.spans.append(
+                    {"kind": "media", "text": "", "media_ref": src, "offset": self._offset()}
+                )
+            return
+        if tag == "br":
+            target = self._cell if self._cell is not None else self._chunks
+            target.append("\n")
+            return
+        if tag == "table":
+            self._flush_text()
+            self._table_rows = []
+            return
+        if self._table_rows is not None:
+            if tag == "tr":
+                self._row = []
+            elif tag in ("td", "th"):
+                self._cell = []
+            elif tag == "caption":
+                self._caption = []
+            return
+        if _HEADING_RX.match(tag) or tag in _BLOCK_TAGS:
+            self._flush_text()
+            self._chunk_depth = self._depth
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        self._depth -= 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(self._drop_depth - 1, 0)
+            self._depth = max(self._depth - 1, 0)
+            return
+        if tag in _BOILER_ANCESTORS:
+            self._flush_text()
+            self._boiler_depth = max(self._boiler_depth - 1, 0)
+            self._depth = max(self._depth - 1, 0)
+            return
+        if tag == "a":
+            self._link_depth = max(self._link_depth - 1, 0)
+        if self._table_rows is not None:
+            if tag in ("td", "th") and self._cell is not None:
+                self._row = self._row if self._row is not None else []
+                self._row.append(_WS_RX.sub(" ", "".join(self._cell)).strip())
+                self._cell = None
+            elif tag == "tr" and self._row is not None:
+                self._table_rows.append(self._row)
+                self._row = None
+            elif tag == "caption":
+                pass
+            elif tag == "table":
+                self._emit_table()
+            self._depth = max(self._depth - 1, 0)
+            return
+        if _HEADING_RX.match(tag):
+            self._flush_text(heading=tag)
+        elif tag in _BLOCK_TAGS:
+            self._flush_text()
+        self._depth = max(self._depth - 1, 0)
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+            return
+        if self._caption is not None:
+            self._caption.append(data)
+            return
+        if self._table_rows is not None:
+            return  # stray whitespace between table tags
+        if not self._chunks:
+            self._chunk_depth = self._depth
+            self._chunk_boiler = self._boiler_depth > 0
+        self._chunks.append(data)
+        if self._link_depth:
+            self._link_chars += len(data.strip())
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush_text()
+        if self._table_rows is not None:
+            self._emit_table()
+
+
+def scan_html(html_text: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
+    """One DOM walk: (spans, raw_tables) in document order — the HTML twin
+    of scanner.scan_markdown."""
+    scanner = _DomScanner()
+    scanner.feed(html_text)
+    scanner.close()
+    return scanner.spans, scanner.raw_tables
+
+
+def parse_html_document(text: str, source: str = "html") -> Dict[str, Any]:
+    """Full per-document HTML parse, same output contract as
+    pipeline.parse_document: {"spans", "tables", "markdown"}."""
+    spans, raw_tables = scan_html(text)
+    tables = [
+        extract_table_auto(raw, table_index=idx, source=source, title=raw.get("title", ""))
+        for idx, raw in enumerate(raw_tables)
+    ]
+    for raw, table in zip(raw_tables, tables):
+        table["line_start"] = raw["line_start"]
+        table["line_end"] = raw["line_end"]
+    markdown = "\n".join(s["text"] for s in spans if s["kind"] != "media")
+    return {"spans": spans, "tables": tables, "markdown": markdown}

@@ -26,7 +26,16 @@ def parse_document(text: str, source: str = "markdown") -> Dict[str, Any]:
     """Full per-document parse: interleaved spans + structured tables.
 
     Returns ``{"spans": [...], "tables": [...], "markdown": normalized}``.
+
+    Dispatch: documents that open with a structural HTML tag go through the
+    DOM kernel (kernel.html — north-rule HTML main-content extraction with
+    tag-depth/link-density/text-density boilerplate); everything else is the
+    reference-parity markdown scanner.
     """
+    from .html import looks_like_html, parse_html_document
+
+    if looks_like_html(text):
+        return parse_html_document(text, source="html")
     markdown = normalize_scripts(text)
     spans, raw_tables = scan_markdown(markdown)
     tables = [

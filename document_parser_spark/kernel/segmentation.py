@@ -95,6 +95,12 @@ def segment_document(
     """Normalize, then split into ``(line_offset, segment_text)`` pieces plus
     the doc-global repeated-line list.  ``target_chars`` is converted to a
     line budget from the doc's mean line length."""
+    from .html import looks_like_html
+
+    if looks_like_html(text):
+        # HTML has no safe line-based split points (a cut inside a tag would
+        # corrupt the DOM walk) — an oversize HTML doc parses as one segment.
+        return [(0, text)], []
     markdown = normalize_scripts(text)
     lines = markdown.splitlines()
     stripped = [ln.strip() for ln in lines]
@@ -116,7 +122,12 @@ def scan_segment(
     segment_text: str, line_offset: int, repeated: List[str]
 ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
     """Scan one segment with global offsets and the doc-global H9 set.
-    Input text is already normalized by segment_document."""
+    Input text is already normalized by segment_document (HTML docs arrive
+    un-normalized as one whole-document segment — see segment_document)."""
+    from .html import looks_like_html, scan_html
+
+    if line_offset == 0 and looks_like_html(segment_text):
+        return scan_html(segment_text)
     return scan_markdown(
         segment_text, repeated_lines=frozenset(repeated), offset_base=line_offset
     )
@@ -128,6 +139,10 @@ def parse_document_segmented(
     """Single-process reference implementation of the segmented parse —
     byte-equal to kernel.parse_document; the Spark twin distributes the
     per-segment scans (plans/segmentation.py)."""
+    from .html import looks_like_html
+
+    if looks_like_html(text):
+        source = "html"  # parity with parse_document's dispatch
     segments, repeated = segment_document(text, target_chars)
     spans: List[Dict[str, Any]] = []
     tables: List[Dict[str, Any]] = []

@@ -79,10 +79,13 @@ def _parse_segment_udf(
         spans_col, tables_col, err_col = [], [], []
         for seg_text, off, rep in zip(seg_texts, offsets, repeated):
             try:
+                from ..kernel.html import looks_like_html
+
                 spans, raws = scan_segment(seg_text, int(off), list(rep))
+                src = "html" if int(off) == 0 and looks_like_html(seg_text) else "markdown"
                 tables = []
                 for raw in raws:  # local indices; re-indexed globally later
-                    t = extract_table_auto(raw, table_index=0, title=raw.get("title", ""))
+                    t = extract_table_auto(raw, table_index=0, source=src, title=raw.get("title", ""))
                     t["line_start"] = raw["line_start"]
                     t["line_end"] = raw["line_end"]
                     tables.append(t)

@@ -1,0 +1,87 @@
+"""HTML/DOM kernel: frozen golden span sequences for the HTML fixture
+classes (the north rule's HTML main-content extraction — these tests ARE the
+spec), dispatch sniffing, and structure-heuristic reuse."""
+
+from document_parser_spark.corpus import FIXTURE_CLASSES
+from document_parser_spark.kernel import looks_like_html, parse_document
+
+
+def _seq(doc):
+    return [(s["kind"], s["text"], s["media_ref"]) for s in doc["spans"]]
+
+
+def test_sniff_dispatch():
+    for name, text in FIXTURE_CLASSES.items():
+        expect_html = name in ("html-basic", "html-vertical-kv", "html-deep-boiler")
+        assert looks_like_html(text) is expect_html, name
+    assert not looks_like_html("plain prose with <br> inline")
+    assert not looks_like_html("| a | b |\n|---|---|")
+    assert looks_like_html("  <html><body><p>x</p></body></html>")
+
+
+def test_html_basic_golden():
+    doc = parse_document(FIXTURE_CLASSES["html-basic"])
+    assert _seq(doc) == [
+        ("boilerplate", "Home | Studies", None),          # <nav> ancestry
+        ("heading", "Quarterly Study Report", None),
+        ("text", "Primary findings paragraph with substantive content about dosing.", None),
+        ("media", "", "fig_html_1.png"),
+        ("table", "| Group | Dose (mg/kg) |\n|---|---|\n| 1 | 0 |\n| 2 | 50 |", None),
+        ("boilerplate", "related one related two", None),  # link density ≥ 0.8
+        ("boilerplate", "Copyright line in the footer", None),  # <footer>
+    ]
+    assert [s["offset"] for s in doc["spans"]] == list(range(7))
+    (table,) = doc["tables"]
+    assert table["table_type"] == "horizontal"
+    assert table["title"] == "Table 9: Dose Summary"  # <caption> wins
+    assert [c["text"] for c in table["cells"]] == ["1", "0", "2", "50"]
+    assert table["headers"] == ["Group", "Dose (mg/kg)"]
+
+
+def test_html_vertical_golden():
+    doc = parse_document(FIXTURE_CLASSES["html-vertical-kv"])
+    kinds = [s["kind"] for s in doc["spans"]]
+    assert kinds == ["heading", "table", "text"]
+    (table,) = doc["tables"]
+    assert table["table_type"] == "vertical"            # H1 on DOM rows
+    assert table["title"] == "STUDY CONTACTS"           # heading fallback
+    texts = [c["text"] for c in table["cells"]]
+    assert "Pathology" in texts and "Dr. Maria Chen" in texts
+
+
+def test_html_tag_depth_and_density_boilerplate():
+    doc = parse_document(FIXTURE_CLASSES["html-deep-boiler"])
+    by_text = {s["text"]: s["kind"] for s in doc["spans"]}
+    assert by_text["Real content at sane depth stays text."] == "text"
+    assert by_text["decoration wrapped far too deep to be content"] == "boilerplate"
+    assert by_text["=== ---- ===="] == "boilerplate"    # text density < 0.35
+    assert by_text["Final real paragraph closes the page."] == "text"
+
+
+def test_html_entities_and_scripts_normalized():
+    doc = parse_document(
+        "<html><body><p>R&amp;D uses H₂O &lt;daily&gt;</p>"
+        "<script>var x = 1;</script></body></html>"
+    )
+    assert _seq(doc) == [("text", "R&D uses H_2O <daily>", None)]
+
+
+def test_html_search_surface_end_to_end(spark):
+    """HTML fixtures flow through the distributed pipeline into Q2 search."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators.extract import (
+        assemble_document_text,
+        cells_output,
+        parse_documents,
+        tables_output,
+    )
+    from document_parser_spark.operators.search import search_by_key_value
+    from document_parser_spark.sources.data import fixture_input_df
+
+    inp = fixture_input_df(spark).filter(F.col("doc_id").startswith("fx-html"))
+    cells = cells_output(tables_output(parse_documents(assemble_document_text(inp))))
+    hits = search_by_key_value(cells, "Pathology").collect()
+    assert [(h["doc_id"], h["cell_text"]) for h in hits] == [
+        ("fx-html-vertical-kv", "Dr. Maria Chen")
+    ]
