@@ -51,6 +51,44 @@ def corpus_path(spark, n_docs: int) -> str:
     return path
 
 
+def run_html_extraction(spark, n_docs: int) -> dict:
+    """DOM-path throughput: parse a generated HTML corpus end-to-end."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators.extract import parse_documents
+
+    base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from document_parser_spark.corpus import synthesize_html_doc
+
+        for pdf in batches:
+            docs = [synthesize_html_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [d["doc_id"] for d in docs], "text": [d["text"] for d in docs]}
+            )
+
+    df = base.mapInPandas(gen, schema="doc_id string, text string")
+    parsed = parse_documents(df)
+
+    def run():
+        return parsed.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        ).first()
+
+    run()  # warm-up
+    t0 = time.monotonic()
+    agg = run()
+    wall = time.monotonic() - t0
+    assert agg["errors"] == 0, f"html parse errors: {agg['errors']}"
+    return {"wall_sec": wall, "docs": agg["docs"], "docs_per_sec": agg["docs"] / wall}
+
+
 def run_extraction(spark, n_docs: int) -> dict:
     """Parse the seeded synthetic corpus end-to-end; returns docs/sec."""
     from pyspark.sql import functions as F
@@ -164,6 +202,7 @@ def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | N
     ext = run_extraction(spark, docs or extraction_docs(sf))
     result["extract"] = ext
     if not extract_only:
+        result["html_extract"] = run_html_extraction(spark, max(500, (docs or extraction_docs(sf)) // 4))
         result["queries"], result["query_extras"] = run_queries(spark, sf_dir)
     spark.stop()
     return result
@@ -270,6 +309,10 @@ def main() -> None:
         "extract_spans": result["extract"]["spans"],
         **result.get("query_extras", {}),
     }
+    if "html_extract" in result:
+        payload["extract_html_docs_per_sec"] = round(
+            result["html_extract"]["docs_per_sec"], 1
+        )
     if args.scaling:
         payload["scaling"] = scaling_study(args.sf_dir)
     else:

@@ -393,6 +393,32 @@ def synthesize_doc(i: int, seed: int = 42) -> Dict[str, Any]:
     return {"doc_id": f"doc-{i:09d}", "text": "\n\n".join(parts)}
 
 
+def synthesize_html_doc(i: int, seed: int = 42) -> Dict[str, Any]:
+    """One deterministic synthetic HTML page — the DOM-path bench corpus
+    (nav/footer boilerplate, headings, prose blocks, a table, a figure)."""
+    rng = random.Random((seed << 21) ^ i)
+    parts = [
+        "<html><head><title>page</title></head><body>",
+        '<nav><a href="/">Home</a> | <a href="/idx">Index</a></nav>',
+        f"<h1>Generated page {i}</h1>",
+    ]
+    for _ in range(rng.randint(2, 8)):
+        parts.append(f"<p>{_prose(rng, rng.randint(20, 90))}</p>")
+    cols = rng.randint(2, 5)
+    parts.append("<table><caption>Table: generated block</caption>")
+    parts.append("<tr>" + "".join(f"<th>Col{c} Name</th>" for c in range(cols)) + "</tr>")
+    for _ in range(rng.randint(2, 10)):
+        parts.append(
+            "<tr>" + "".join(f"<td>{rng.randint(0, 9999)}</td>" for _ in range(cols)) + "</tr>"
+        )
+    parts.append("</table>")
+    if rng.random() < 0.3:
+        parts.append(f'<img src="fig_{i}.png">')
+    parts.append(f"<p>{_prose(rng, rng.randint(10, 40))}</p>")
+    parts.append("<footer>generated footer line</footer></body></html>")
+    return {"doc_id": f"html-{i:09d}", "text": "\n".join(parts)}
+
+
 def synthesize_corpus(n_docs: int, seed: int = 42) -> Iterator[Dict[str, Any]]:
     """Seeded bench corpus with the FIXTURES.md §4 class mix and a heavy size
     tail.  Yields ``{"doc_id", "text"}`` rows; deterministic for a given
