@@ -435,9 +435,13 @@ def to_input_rows(docs) -> List[Dict[str, Any]]:
     rows = []
     for d in docs:
         spans = [{"kind": "text", "text": d["text"], "media_ref": None, "offset": 0}]
-        for k, ref in enumerate(
-            dict.fromkeys(_re.findall(r"!\[[^\]]*\]\(([^)]+)\)", d["text"]))
-        ):
+        # markdown ![](ref) first, then HTML <img src="ref"> — deduped in
+        # that order (mirrored exactly by sources.data.lift_flat_to_input
+        # and scripts/build_golden.py)
+        refs = _re.findall(r"!\[[^\]]*\]\(([^)]+)\)", d["text"]) + _re.findall(
+            r'<img[^>]*\ssrc="([^"]+)"', d["text"]
+        )
+        for k, ref in enumerate(dict.fromkeys(refs)):
             spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k + 1})
         rows.append({"doc_id": d["doc_id"], "spans": spans})
     return rows

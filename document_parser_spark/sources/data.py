@@ -74,7 +74,10 @@ def lift_flat_to_input(flat: DataFrame) -> DataFrame:
     """(doc_id, text) → input_hint span shape: one raw text span at offset 0
     plus one media span per distinct ``![](ref)`` occurrence."""
     refs = F.array_distinct(
-        F.expr(r"regexp_extract_all(text, '!\\[[^\\]]*\\]\\(([^)]+)\\)', 1)")
+        F.concat(
+            F.expr(r"regexp_extract_all(text, '!\\[[^\\]]*\\]\\(([^)]+)\\)', 1)"),
+            F.expr(r"""regexp_extract_all(text, '<img[^>]*\\ssrc="([^"]+)"', 1)"""),
+        )
     )
     spans = F.concat(
         F.array(

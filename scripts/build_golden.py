@@ -111,7 +111,8 @@ def extraction_corpus(sf_dir: str) -> list[dict]:
     return docs
 
 
-_MEDIA_REF_RX = __import__("re").compile(r"!\[[^\]]*\]\(([^)]+)\)")
+_MD_REF_RX = __import__("re").compile(r"!\[[^\]]*\]\(([^)]+)\)")
+_IMG_REF_RX = __import__("re").compile(r'<img[^>]*\ssrc="([^"]+)"')
 
 
 def build_rows(docs: list[dict]):
@@ -119,7 +120,9 @@ def build_rows(docs: list[dict]):
     for d in docs:
         # Input-shape media spans: one per DISTINCT ![](ref), mirroring
         # corpus.to_input_rows / sources.data.lift_flat_to_input.
-        for ref in dict.fromkeys(_MEDIA_REF_RX.findall(d["text"])):
+        for ref in dict.fromkeys(
+            _MD_REF_RX.findall(d["text"]) + _IMG_REF_RX.findall(d["text"])
+        ):
             media_rows.append({"doc_id": d["doc_id"], "media_ref": ref})
         parsed = parse_document(d["text"])
         for seq, s in enumerate(parsed["spans"]):
