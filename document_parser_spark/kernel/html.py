@@ -75,6 +75,7 @@ class _DomScanner(HTMLParser):
         self._last_heading: Optional[str] = None
         # table state
         self._table_rows: Optional[List[List[str]]] = None
+        self._table_depth = 0  # nested <table> flatten: inner rows join outer
         self._row: Optional[List[str]] = None
         self._cell: Optional[List[str]] = None
         self._caption: Optional[List[str]] = None
@@ -168,8 +169,21 @@ class _DomScanner(HTMLParser):
             target.append("\n")
             return
         if tag == "table":
-            self._flush_text()
-            self._table_rows = []
+            if self._table_rows is None:
+                self._flush_text()
+                self._table_rows = []
+                self._table_depth = 1
+            else:
+                # nested table: frozen flatten rule — the outer row in
+                # progress closes (its cells so far become one grid row) and
+                # the inner rows join the outer grid as rows of their own
+                self._table_depth += 1
+                if self._cell is not None and self._row is not None:
+                    self._row.append(_WS_RX.sub(" ", "".join(self._cell)).strip())
+                    self._cell = None
+                if self._row:
+                    self._table_rows.append(self._row)
+                self._row = None
             return
         if self._table_rows is not None:
             if tag == "tr":
@@ -210,7 +224,9 @@ class _DomScanner(HTMLParser):
             elif tag == "caption":
                 pass
             elif tag == "table":
-                self._emit_table()
+                self._table_depth = max(self._table_depth - 1, 0)
+                if self._table_depth == 0:
+                    self._emit_table()
             self._depth = max(self._depth - 1, 0)
             return
         if _HEADING_RX.match(tag):

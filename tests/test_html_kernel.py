@@ -85,3 +85,30 @@ def test_html_search_surface_end_to_end(spark):
     assert [(h["doc_id"], h["cell_text"]) for h in hits] == [
         ("fx-html-vertical-kv", "Dr. Maria Chen")
     ]
+
+
+def test_html_nested_and_malformed():
+    """Nested tables flatten into the outer grid (frozen rule); unclosed
+    tags and stray closers never crash or lose trailing content."""
+    doc = parse_document(
+        "<html><body><table>"
+        "<tr><th>K</th><th>V</th></tr>"
+        "<tr><td>outer</td><td><table><tr><td>9</td><td>8</td></tr></table></td></tr>"
+        "<tr><td>last</td><td>7</td></tr>"
+        "</table></body></html>"
+    )
+    (table,) = doc["tables"]
+    data_texts = [c["text"] for c in table["cells"]]
+    header_texts = [c["text"] for c in table["header_cells"]]
+    # nothing is lost: the partial outer row flattens in (H2's multi-row
+    # header scan absorbs the all-text ['outer',''] row — reference-faithful)
+    assert "outer" in data_texts + header_texts
+    assert "last" in data_texts and "9" in data_texts and "7" in data_texts
+
+    messy = parse_document(
+        "<html><body><p>first<div>second</p></div></span>"
+        "<table><tr><td>a</td><td>b</table>"
+        "<p>trailing content survives</p>"
+    )
+    all_text = " ".join(s["text"] for s in messy["spans"])
+    assert "first" in all_text and "trailing content survives" in all_text
