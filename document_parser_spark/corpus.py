@@ -281,10 +281,21 @@ decoration wrapped far too deep to be content
 </body></html>
 """
 
+_HTML_MESSY = """\
+<html><body>
+<p>first paragraph<div>unclosed block</p></div></span>
+<table><tr><th>K</th><th>N</th></tr>
+<tr><td>outer key</td><td><table><tr><td>41</td><td>42</td></tr></table></td></tr>
+<tr><td>tail</td><td>7</table>
+<p>trailing prose survives the mess</p>
+</body></html>
+"""
+
 FIXTURE_CLASSES: Dict[str, str] = {
     "html-basic": _HTML_BASIC,
     "html-vertical-kv": _HTML_VERTICAL,
     "html-deep-boiler": _HTML_DEEP_BOILER,
+    "html-messy": _HTML_MESSY,
     "edge-crlf": _EDGE_CRLF,
     "edge-tabs": _EDGE_TABS,
     "edge-eof-table": _EDGE_EOF_TABLE,

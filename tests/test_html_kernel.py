@@ -12,7 +12,7 @@ def _seq(doc):
 
 def test_sniff_dispatch():
     for name, text in FIXTURE_CLASSES.items():
-        expect_html = name in ("html-basic", "html-vertical-kv", "html-deep-boiler")
+        expect_html = name in ("html-basic", "html-vertical-kv", "html-deep-boiler", "html-messy")
         assert looks_like_html(text) is expect_html, name
     assert not looks_like_html("plain prose with <br> inline")
     assert not looks_like_html("| a | b |\n|---|---|")
