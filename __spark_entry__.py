@@ -5,11 +5,14 @@ plus the driver's sf0.001 documents, then the reference's own first example
 query (search_by_key_value 'Pathology', /root/reference/table_search.py:549-554).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2).  Everything SQL-expressible has a DuckDB oracle with exact
-cross-engine arithmetic (md5 hashing, integer ratios, decimal-exact sums —
-see document_parser_spark.operators docstrings); the markdown-parse-dependent
-queries are rows-only here and covered by the golden span-equality pytest
-suite instead (tests/test_extract_spark.py, tests/test_search_spark.py).
+(SURVEY.md §2 + the training-data-pipeline layer): 46 queries, EVERY one
+with a DuckDB oracle.  Cross-engine arithmetic is engineered to be
+bit-identical (md5/sha256 string hashing, integer set/ratio/projection
+math, decimal-exact money sums, timezone-free NTZ microsecond gaps); the
+parse/search surface is oracled via golden parquet built by the pure kernel
+(scripts/build_golden.py — itself reference-parity-tested), with the oracle
+SQL re-implementing each query's relational logic over those tables.
+``scripts/compare_oracle.py`` dry-runs the whole contract locally.
 """
 
 from __future__ import annotations

@@ -280,15 +280,130 @@ def scaling_study(
     }
 
 
+#: CPU-heavy shuffle/agg queries for the query-side scaling study — all
+#: LINEAR per-doc work (fingerprint/simhash/token/repetition aggregations).
+#: Pair-emitting dedup queries are deliberately excluded: on the synthetic
+#: corpus their OUTPUT grows superlinearly with doc count (near-dup density),
+#: so "same work per doc at both cluster sizes" would not hold.
+SCALING_QUERY_SUBSET = ["fingerprints", "simhash_docs", "token_stats", "repetition_stats"]
+
+
+#: documents for the query scaling corpus — sf0.1's 5k docs can't feed 16
+#: cores (task overhead dominates and 16 cores measures SLOWER than 4);
+#: 60k docs ≈ 12× gives each core real shuffle/agg work.
+QUERY_SCALING_DOCS = 60_000
+
+
+def _scaled_documents_dir(spark, n_docs: int) -> str:
+    """Materialize a flat documents table (doc_id, text, lang, source,
+    n_chars) at the requested size — cached parquet, deterministic."""
+    import pandas as pd
+    from typing import Iterator
+
+    path = os.path.join(REPO, ".bench_data", f"qscale_{n_docs}")
+    marker = os.path.join(path, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        from document_parser_spark.corpus import synthesize_doc
+
+        base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            langs, sources = ["en", "fr", "de", "es"], ["web", "pdf"]
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    text = synthesize_doc(i)["text"]
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "text": text,
+                            "lang": langs[i % 4],
+                            "source": sources[i % 2],
+                            "n_chars": len(text),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        df = base.mapInPandas(
+            gen, schema="doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+def _query_subset_once(cpus: int, sf_dir: str, n_docs: int) -> float:
+    """Steady-state wall time of the scaling query subset on one session."""
+    import __spark_entry__ as entry
+
+    from document_parser_spark.sources.session import get_spark
+
+    spark = get_spark(app_name=f"qscale[{cpus}]", cpus=cpus)
+    data_dir = _scaled_documents_dir(spark, n_docs) if n_docs else sf_dir
+    qs = entry.queries()
+
+    def run() -> float:
+        t0 = time.monotonic()
+        for name in SCALING_QUERY_SUBSET:
+            qs[name](spark, data_dir).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    run()  # warm-up (JVM, Python workers, shuffle paths)
+    wall = run()
+    spark.stop()
+    return wall
+
+
+def query_scaling_study(
+    sf_dir: str, low: int = 4, high: int = 16, repeats: int = 2,
+    n_docs: int = QUERY_SCALING_DOCS,
+) -> dict:
+    """The scaling criterion applied to the QUERY surface: the same
+    shuffle-heavy dedup/fingerprint queries at N and 4N cores over a corpus
+    big enough to feed 4N cores, separate JVMs, best-of-N interleaved.
+    eff = T_low / (factor · T_high)."""
+    best = {low: float("inf"), high: float("inf")}
+    for _ in range(repeats):
+        for cpus in (low, high):
+            _kill_leftovers()
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
+                 "--query-subset-internal", "--docs", str(n_docs)],
+                capture_output=True, text=True, check=True,
+            )
+            wall = json.loads(proc.stdout.strip().splitlines()[-1])["subset_sec"]
+            best[cpus] = min(best[cpus], wall)
+    factor = high / low
+    return {
+        "queries": SCALING_QUERY_SUBSET,
+        "n_docs": n_docs,
+        "cores_low": low,
+        "cores_high": high,
+        "sec_low": round(best[low], 2),
+        "sec_high": round(best[high], 2),
+        "speedup": round(best[low] / best[high], 3),
+        "scaling_efficiency": round(best[low] / (best[high] * factor), 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-queries", action="store_true")
+    ap.add_argument("--query-subset-internal", action="store_true")
     ap.add_argument("--internal-json", action="store_true")
     ap.add_argument("--docs", type=int, default=None)
     args = ap.parse_args()
+
+    if args.query_subset_internal:
+        print(json.dumps({"subset_sec": _query_subset_once(args.cpus, args.sf_dir, args.docs or 0)}))
+        return
+    if args.scaling_queries:
+        print(json.dumps({"query_scaling": query_scaling_study(args.sf_dir)}))
+        return
 
     result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only, docs=args.docs)
     if args.internal_json:

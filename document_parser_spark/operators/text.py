@@ -10,6 +10,7 @@ double divisions of identical integers (bit-identical across engines).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -223,9 +224,57 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Java-regex \s equivalent as an explicit class: Python's \s is
+# unicode-wide (NBSP etc.) while Spark's and DuckDB's are ASCII — the
+# shingle UDF must split EXACTLY like words()/the SQL oracles do.
+_JAVA_WS_RX = None
+_SHINGLE_UDFS: dict = {}
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Consecutive k-word shingles joined by a single space (empty array when
-    the doc has fewer than k words)."""
+    the doc has fewer than k words).
+
+    Arrow-batched: the obvious Column formulation
+    (``transform(sequence(0, n-k), i -> array_join(slice(w, i+1, k)))``)
+    re-evaluates the WHOLE word split for every element — higher-order
+    lambdas don't share subexpressions — making shingling O(words²) per
+    document.  Harmless at 200 words, a stall at 50k (pathological web
+    docs).  The UDF is one linear pass per doc; outputs are byte-identical
+    (ASCII-whitespace split, exactly Spark's ``split(trim(x), '\\s+')``) —
+    tests/test_dedup.py asserts equality against the Column twin."""
+    global _JAVA_WS_RX
+    if _JAVA_WS_RX is None:
+        import re as _re
+
+        _JAVA_WS_RX = _re.compile("[ \t\n\x0b\f\r]+")
+    if k not in _SHINGLE_UDFS:
+        from pyspark.sql.types import ArrayType, StringType
+
+        def make(kk: int):
+            @F.pandas_udf(ArrayType(StringType()))
+            def shingle_udf(texts: pd.Series) -> pd.Series:
+                out = []
+                for t in texts:
+                    ws = [w for w in _JAVA_WS_RX.split((t or "").strip(" ")) if w]
+                    if len(ws) < kk:
+                        out.append([])
+                    else:
+                        out.append(
+                            [" ".join(ws[i : i + kk]) for i in range(len(ws) - kk + 1)]
+                        )
+                return pd.Series(out)
+
+            return shingle_udf
+
+        _SHINGLE_UDFS[k] = make(k)
+    return _SHINGLE_UDFS[k](col)
+
+
+def word_shingles_column_twin(col: Column, k: int = 3) -> Column:
+    """The pure-Column formulation — O(words²), kept ONLY as the equality
+    cross-check for the Arrow path (and for plans that must stay UDF-free
+    on provably small text)."""
     w = words(col)
     n = F.size(w)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(

