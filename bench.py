@@ -291,7 +291,7 @@ SCALING_QUERY_SUBSET = ["fingerprints", "simhash_docs", "token_stats", "repetiti
 #: documents for the query scaling corpus — sf0.1's 5k docs can't feed 16
 #: cores (task overhead dominates and 16 cores measures SLOWER than 4);
 #: 60k docs ≈ 12× gives each core real shuffle/agg work.
-QUERY_SCALING_DOCS = 60_000
+QUERY_SCALING_DOCS = 20_000
 
 
 def _scaled_documents_dir(spark, n_docs: int) -> str:
@@ -333,12 +333,21 @@ def _scaled_documents_dir(spark, n_docs: int) -> str:
 
 
 def _query_subset_once(cpus: int, sf_dir: str, n_docs: int) -> float:
-    """Steady-state wall time of the scaling query subset on one session."""
+    """Steady-state wall time of the scaling query subset on one session.
+
+    maxPartitionBytes is lowered so the compact generated parquet yields
+    enough input splits to feed 4N cores — at petabyte scale splits abound,
+    but a 70 MB local file would otherwise scan as ~1 task and measure
+    single-thread time at every core count."""
     import __spark_entry__ as entry
 
     from document_parser_spark.sources.session import get_spark
 
-    spark = get_spark(app_name=f"qscale[{cpus}]", cpus=cpus)
+    spark = get_spark(
+        app_name=f"qscale[{cpus}]",
+        cpus=cpus,
+        extra={"spark.sql.files.maxPartitionBytes": "2m"},
+    )
     data_dir = _scaled_documents_dir(spark, n_docs) if n_docs else sf_dir
     qs = entry.queries()
 
@@ -355,7 +364,7 @@ def _query_subset_once(cpus: int, sf_dir: str, n_docs: int) -> float:
 
 
 def query_scaling_study(
-    sf_dir: str, low: int = 4, high: int = 16, repeats: int = 2,
+    sf_dir: str, low: int = 4, high: int = 16, repeats: int = 1,
     n_docs: int = QUERY_SCALING_DOCS,
 ) -> dict:
     """The scaling criterion applied to the QUERY surface: the same
