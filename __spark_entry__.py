@@ -743,7 +743,7 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 def _q_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash(d)
+    return dedup.simhash(d).orderBy("doc_id")
 
 
 _SQL_SIMHASH = rf"""

@@ -291,8 +291,23 @@ _HTML_MESSY = """\
 </body></html>
 """
 
+# Void-element regression class (ADVICE r02): 14 bare <br>/<hr>/<img> before
+# the final paragraphs — void tags must NOT accumulate tag depth, or every
+# block after ~12 of them misclassifies as boilerplate.
+_HTML_VOID_HEAVY = """\
+<html><body>
+<p>poem line one<br>line two<br>line three<br>line four<br>line five<br>
+line six<br>line seven<br>line eight<br>line nine<br>line ten<br></p>
+<hr><hr>
+<img src="fig_void_1.png"><img src="fig_void_2.png">
+<p>Real prose after many void tags must remain main content.</p>
+<p>And a second real paragraph closes the page.</p>
+</body></html>
+"""
+
 FIXTURE_CLASSES: Dict[str, str] = {
     "html-basic": _HTML_BASIC,
+    "html-void-heavy": _HTML_VOID_HEAVY,
     "html-vertical-kv": _HTML_VERTICAL,
     "html-deep-boiler": _HTML_DEEP_BOILER,
     "html-messy": _HTML_MESSY,

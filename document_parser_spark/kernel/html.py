@@ -37,6 +37,14 @@ from .structure import extract_table_auto
 
 _BOILER_ANCESTORS = frozenset({"nav", "header", "footer", "aside"})
 _DROP_TAGS = frozenset({"script", "style", "title"})  # title = head metadata
+# HTML void elements (the WHATWG list): no end tag ever arrives, so they
+# must not contribute to tag depth — a bare <br>/<img>/<hr> stream would
+# otherwise drift _depth upward until every later block trips the
+# MAX_CONTENT_DEPTH boilerplate rule (a <br>-heavy page is all-boilerplate).
+_VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
 _BLOCK_TAGS = frozenset(
     {"p", "div", "li", "section", "article", "main", "ul", "ol", "blockquote",
      "tr", "td", "th", "table", "caption", "body", "html", "figure", "figcaption"}
@@ -146,7 +154,8 @@ class _DomScanner(HTMLParser):
     # --- HTMLParser hooks ------------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._depth += 1
+        if tag not in _VOID_TAGS:
+            self._depth += 1
         if tag in _DROP_TAGS:
             self._drop_depth += 1
             return
@@ -199,9 +208,12 @@ class _DomScanner(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
-        self._depth -= 1
+        if tag not in _VOID_TAGS:
+            self._depth -= 1
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return  # never opened depth (spurious </br>/</img> in the wild)
         if tag in _DROP_TAGS:
             self._drop_depth = max(self._drop_depth - 1, 0)
             self._depth = max(self._depth - 1, 0)

@@ -139,7 +139,10 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                     buf = io.BytesIO()
                     img.save(buf, format=img.format or "PNG")
                     out_bytes = buf.getvalue()
-                except ImportError:
+                except Exception:
+                    # ImportError (no PIL) or any decode failure
+                    # (UnidentifiedImageError/OSError on non-image bytes) —
+                    # fall back to pass-through rather than killing the task
                     out_bytes = data  # stub: metadata real, pixels untouched
                 rows.append(
                     {

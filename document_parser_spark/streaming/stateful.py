@@ -24,6 +24,31 @@ SESSION_OUTPUT = (
 _STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
+def fold_events(
+    state: Tuple[Any, Any, int], ts_sorted: list, gap_us: int
+) -> Tuple[list, Tuple[Any, Any, int]]:
+    """Pure session-fold core (unit-testable): fold sorted event times into
+    the open (start_us, last_us, n) state; returns (closed sessions, state).
+
+    A within-watermark late event older than the stored session end folds in
+    via min/max — overwriting ``last_us`` backwards would lower the timeout
+    timestamp and let a later event falsely split one session in two
+    (ADVICE r02, streaming/stateful.py)."""
+    start_us, last_us, n = state
+    closed: list = []
+    for t in ts_sorted:
+        if last_us is not None and t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = None, None, 0
+        if start_us is None:
+            start_us, last_us = t, t
+        else:
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+        n += 1
+    return closed, (start_us, last_us, n)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = 600,
@@ -67,14 +92,11 @@ def sessionize_stream(
             ts_all.extend(
                 pdf[ts_col].astype("datetime64[us]").astype("int64").tolist()
             )
-        for t in sorted(ts_all):
-            if last_us is not None and t - last_us > gap_us:
-                yield emit(start_us, last_us, n)
-                start_us, n = None, 0
-            if start_us is None:
-                start_us = t
-            last_us = t
-            n += 1
+        closed, (start_us, last_us, n) = fold_events(
+            (start_us, last_us, n), sorted(ts_all), gap_us
+        )
+        for c_start, c_last, c_n in closed:
+            yield emit(c_start, c_last, c_n)
         if start_us is not None:
             state.update((start_us, last_us, n))
             # close via event-time timeout once the watermark passes the gap

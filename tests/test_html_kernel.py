@@ -12,11 +12,30 @@ def _seq(doc):
 
 def test_sniff_dispatch():
     for name, text in FIXTURE_CLASSES.items():
-        expect_html = name in ("html-basic", "html-vertical-kv", "html-deep-boiler", "html-messy")
+        expect_html = name in (
+            "html-basic", "html-vertical-kv", "html-deep-boiler", "html-messy",
+            "html-void-heavy",
+        )
         assert looks_like_html(text) is expect_html, name
     assert not looks_like_html("plain prose with <br> inline")
     assert not looks_like_html("| a | b |\n|---|---|")
     assert looks_like_html("  <html><body><p>x</p></body></html>")
+
+
+def test_html_void_heavy_golden():
+    """Void elements (<br>/<hr>/<img>) must not accumulate tag depth: real
+    prose after 14 of them stays main content (ADVICE r02, kernel/html.py)."""
+    doc = parse_document(FIXTURE_CLASSES["html-void-heavy"])
+    assert _seq(doc) == [
+        ("text",
+         "poem line one line two line three line four line five line six "
+         "line seven line eight line nine line ten", None),
+        ("media", "", "fig_void_1.png"),
+        ("media", "", "fig_void_2.png"),
+        ("text", "Real prose after many void tags must remain main content.", None),
+        ("text", "And a second real paragraph closes the page.", None),
+    ]
+    assert [s["offset"] for s in doc["spans"]] == list(range(5))
 
 
 def test_html_basic_golden():

@@ -165,3 +165,36 @@ def test_lsh_topk_is_bucket_equi_join(spark):
     plan = plan_of(similarity.lsh_bucketed_topk(e, q, k=10))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan  # vectorized bucket UDF, not per-row
+
+
+def test_candidate_generation_has_no_midstream_sort(spark):
+    """No range-Exchange/Sort inside candidate generation for any near-dup
+    family (VERDICT r02 item 4): a global orderBy there buys nothing — the
+    consumer is always a hash join that destroys the ordering.  Terminal
+    sorts live on the query outputs only."""
+    from document_parser_spark.operators import similarity
+    from document_parser_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang", "source", "text")
+    e = load_table(spark, SF, "embeddings")
+
+    cand = minhash_candidate_pairs(minhash_signatures(d, shingle_k=5))
+    plan = plan_of(cand)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+    # simhash/ngram/LSH full queries: at most ONE range exchange — the
+    # terminal orderBy.  (Spark renders range shuffles as
+    # 'Exchange rangepartitioning(...)'.)
+    for q in (
+        simhash_near_pairs(simhash(d), max_hamming=1),
+        ngram_jaccard_pairs(d, threshold_pct=50),
+        similarity.cosine_near_dup_pairs(e, threshold=0.45),
+    ):
+        p = plan_of(q)
+        assert p.lower().count("rangepartitioning") <= 1, p

@@ -63,3 +63,29 @@ def test_stateful_sessionize_across_microbatches(spark):
         q.stop()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_fold_events_late_event_does_not_move_session_backwards():
+    """A mildly-late event (older than the stored session end) folds in via
+    min/max; the session end must NOT regress, and the next event must be
+    gap-measured from the true (max) end — ADVICE r02 regression."""
+    from document_parser_spark.streaming.stateful import fold_events
+
+    gap = 600_000_000  # 600 s in us
+    s = lambda sec: sec * 1_000_000
+    # open session at [0, 500 s] with 2 events
+    state = (s(0), s(500), 2)
+    # a late event at 100 s arrives: folds in, end stays 500 s
+    closed, state = fold_events(state, [s(100)], gap)
+    assert closed == [] and state == (s(0), s(500), 3)
+    # next event at 900 s: 400 s after the TRUE end → same session.
+    # (with the pre-fix overwrite the end would read 100 s and 900 s would
+    # falsely split the session: 800 s > gap 600 s)
+    closed, state = fold_events(state, [s(900)], gap)
+    assert closed == [] and state == (s(0), s(900), 4)
+    # a late event even before session start extends the start downward
+    closed, state = fold_events(state, [-s(50)], gap)
+    assert closed == [] and state == (-s(50), s(900), 5)
+    # and a genuine gap still closes
+    closed, state = fold_events(state, [s(2000)], gap)
+    assert closed == [(-s(50), s(900), 5)] and state == (s(2000), s(2000), 1)
