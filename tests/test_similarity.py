@@ -95,3 +95,29 @@ def test_ivf_topk_candidates_from_probed_lists(spark, emb):
     assert {(r["query_id"], r["vec_id"]) for r in full} == {
         (r["query_id"], r["vec_id"]) for r in exact
     }
+
+
+def test_sketch_topk_recall_and_full_rerank_exactness(spark, emb):
+    """Hamming-sketch rerank: (a) at a 100% rerank fraction it IS the exact
+    top-k; (b) at the default 10% it keeps high recall (the 512-bit sketch
+    separates cos≈0.35 neighbors from the isotropic bulk)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk_exact(emb, q, k=10).collect()}
+    full = {(r["query_id"], r["vec_id"])
+            for r in similarity.sketch_topk(emb, q, k=10, rerank_frac_pct=100).collect()}
+    assert full == exact
+    ten = {(r["query_id"], r["vec_id"])
+           for r in similarity.sketch_topk(emb, q, k=10).collect()}
+    assert len(ten & exact) / len(exact) >= 0.85
+
+
+def test_kmeans_centroids_deterministic_and_refine(spark, emb):
+    """The integer-exact Lloyd refinement is reproducible run-to-run and
+    keeps exactly nlist centroids (empty lists keep their previous value)."""
+    import numpy as np
+
+    c1, m1 = similarity.ivf_centroids_kmeans(emb, nlist=8, iters=2)
+    c2, m2 = similarity.ivf_centroids_kmeans(emb, nlist=8, iters=2)
+    assert np.array_equal(c1, c2) and np.array_equal(m1, m2)
+    assert m1.shape[0] == 8 and list(c1) == sorted(c1)
