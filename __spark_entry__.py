@@ -241,6 +241,91 @@ ORDER BY m.doc_id, m.table_index, m.row
 """
 
 
+def _q_search_by_column(spark, sf_dir):
+    """Q3 standalone (reference table_search.py:254-323): all values of a
+    named column across horizontal tables — 8 of 9,200 cells survive, so the
+    column filter demonstrably cuts."""
+    out = search.search_by_column(_cells(spark, sf_dir), "Number of Animals")
+    return (
+        out.withColumn("header_levels", F.to_json("header_levels"))
+        .withColumn("table_index", F.col("table_index").cast("long"))
+        .withColumn("row", F.col("row").cast("long"))
+        .withColumn("col", F.col("col").cast("long"))
+    )
+
+
+_SQL_SEARCH_BY_COLUMN = f"""
+SELECT doc_id, table_index, table_source, table_title, table_type, row, col,
+       header, CAST(to_json(header_levels) AS VARCHAR) AS header_levels,
+       text AS cell_text, CAST(1.0 AS DOUBLE) AS match_score,
+       'column_search' AS match_type
+FROM read_parquet('{_GOLDEN}/cells.parquet')
+WHERE table_type = 'horizontal'
+  AND (header = 'Number of Animals'
+       OR list_contains(header_levels, 'Number of Animals')
+       OR len(list_filter(header_levels, x -> contains(lower(x), 'number of animals'))) > 0)
+ORDER BY doc_id, table_index, row, col
+"""
+
+
+def _q_table_by_title(spark, sf_dir):
+    """Q7/O5 (reference table_search.py:465-476): FIRST table whose title
+    matches, in insertion order — 'pathological' matches 120 tables of the
+    skew fixture, so the limit(1) genuinely cuts."""
+    out = search.get_table_by_title(tables_output(_parsed(spark, sf_dir)), "pathological")
+    return out.select(
+        "doc_id",
+        F.col("table_index").cast("long").alias("table_index"),
+        "source",
+        "title",
+        "table_type",
+        F.col("num_columns").cast("long").alias("num_columns"),
+        F.col("num_rows").cast("long").alias("num_rows"),
+        F.col("header_row_count").cast("long").alias("header_row_count"),
+    )
+
+
+_SQL_TABLE_BY_TITLE = f"""
+SELECT doc_id, table_index, source, title, table_type,
+       num_columns, num_rows, header_row_count
+FROM read_parquet('{_GOLDEN}/tables.parquet')
+WHERE contains(lower(title), 'pathological')
+ORDER BY doc_id, table_index
+LIMIT 1
+"""
+
+
+def _q_extract_html_spans(spark, sf_dir):
+    """North-rule HTML surface as its own contract query: the DOM kernel
+    (boilerplate strip via tag-depth/link-density/text-density, table
+    serialization, media re-threading) over the dedicated HTML corpus —
+    every fixture class (clean, vertical-kv, deep-boiler, MALFORMED,
+    void-heavy) plus 40 deterministic synthetic pages.  md5(text) locks the
+    exact span text, not just its length."""
+    from document_parser_spark.corpus import html_corpus
+
+    df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in html_corpus()], "doc_id string, text string"
+    )
+    parsed = parse_documents(df)
+    s = parsed.select("doc_id", F.posexplode("spans").alias("seq", "span"))
+    return s.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").cast("long").alias("offset"),
+        F.md5(F.col("span.text")).alias("text_md5"),
+    )
+
+
+_SQL_EXTRACT_HTML_SPANS = f"""
+SELECT doc_id, seq, kind, media_ref, "offset", md5(text) AS text_md5
+FROM read_parquet('{_GOLDEN}/html_spans.parquet')
+ORDER BY doc_id, seq
+"""
+
+
 # ---- F1: match-mode predicates (oracled) ----------------------------------
 
 def _q_filter_modes(spark, sf_dir):
@@ -1647,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_key_value_pathology": _q_search_key_value,
         "search_anywhere_topk": _q_search_anywhere,
         "row_assembly_group2": _q_row_assembly,
+        "search_by_column": _q_search_by_column,
+        "table_by_title": _q_table_by_title,
+        "extract_html_spans": _q_extract_html_spans,
         # F-family predicates
         "filter_modes": _q_filter_modes,
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -1750,6 +1838,9 @@ def oracle_sql() -> dict[str, str]:
         "search_key_value_pathology": _SQL_SEARCH_KEY_VALUE,
         "search_anywhere_topk": _SQL_SEARCH_ANYWHERE,
         "row_assembly_group2": _SQL_ROW_ASSEMBLY,
+        "search_by_column": _SQL_SEARCH_BY_COLUMN,
+        "table_by_title": _SQL_TABLE_BY_TITLE,
+        "extract_html_spans": _SQL_EXTRACT_HTML_SPANS,
         "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
         "media_features": _SQL_MEDIA_FEATURES,
     }

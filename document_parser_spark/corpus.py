@@ -445,6 +445,20 @@ def synthesize_html_doc(i: int, seed: int = 42) -> Dict[str, Any]:
     return {"doc_id": f"html-{i:09d}", "text": "\n".join(parts)}
 
 
+def html_corpus(n_synth: int = 40, seed: int = 42) -> List[Dict[str, Any]]:
+    """The HTML-path correctness corpus: every HTML fixture class (clean,
+    vertical, deep-boiler, malformed, void-heavy) plus ``n_synth``
+    deterministic synthetic pages — the north-rule DOM surface, used by the
+    ``extract_html_spans`` contract query and its golden-parquet oracle."""
+    docs = [
+        {"doc_id": f"fx-{name}", "text": text}
+        for name, text in FIXTURE_CLASSES.items()
+        if _looks_like_html(text)
+    ]
+    docs += [synthesize_html_doc(i, seed) for i in range(n_synth)]
+    return docs
+
+
 def synthesize_corpus(n_docs: int, seed: int = 42) -> Iterator[Dict[str, Any]]:
     """Seeded bench corpus with the FIXTURES.md §4 class mix and a heavy size
     tail.  Yields ``{"doc_id", "text"}`` rows; deterministic for a given

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from document_parser_spark.corpus import fixture_documents  # noqa: E402
+from document_parser_spark.corpus import fixture_documents, html_corpus  # noqa: E402
 from document_parser_spark.kernel import (  # noqa: E402
     parse_document,
     parse_table_sink_dialect,
@@ -180,6 +180,28 @@ def write(rows: list[dict], schema: pa.Schema, path: str) -> None:
     pq.write_table(table, path, compression="zstd")
 
 
+def build_html_spans():
+    """Kernel-parsed span stream of the dedicated HTML corpus (fixture
+    classes incl. malformed/void-heavy + deterministic synthetic pages) —
+    the oracle table for the extract_html_spans contract query."""
+    rows = []
+    for d in html_corpus():
+        parsed = parse_document(d["text"])
+        for seq, s in enumerate(parsed["spans"]):
+            rows.append(
+                {
+                    "doc_id": d["doc_id"],
+                    "seq": seq,
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                    "offset": s["offset"],
+                    "text_len": len(s["text"] or ""),
+                }
+            )
+    return rows
+
+
 def build_sf(sf_dir: str) -> None:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(GOLDEN_ROOT, tag)
@@ -190,9 +212,12 @@ def build_sf(sf_dir: str) -> None:
     write(cells, CELLS_SCHEMA, os.path.join(out_dir, "cells.parquet"))
     write(merged, MERGED_SCHEMA, os.path.join(out_dir, "merged_spans.parquet"))
     write(media, MEDIA_SCHEMA, os.path.join(out_dir, "media.parquet"))
+    html_spans = build_html_spans()
+    write(html_spans, SPANS_SCHEMA, os.path.join(out_dir, "html_spans.parquet"))
     print(
         f"{out_dir}: spans={len(spans)} tables={len(tables)} "
-        f"cells={len(cells)} merged={len(merged)} media={len(media)}"
+        f"cells={len(cells)} merged={len(merged)} media={len(media)} "
+        f"html_spans={len(html_spans)}"
     )
 
 
