@@ -150,6 +150,8 @@ QUERY_NAMES = [
     "fingerprints",
     "curate_corpus",
     "embedding_near_dup",
+    "simhash_near_pairs",
+    "extract_html_spans",
 ]
 
 
@@ -165,10 +167,12 @@ def run_queries(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
     # similarity on the fast native path (the exact variant is the oracle twin)
+    from document_parser_spark.operators import similarity
     from document_parser_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
         lsh_bucketed_topk,
+        sketch_topk,
     )
     from document_parser_spark.sources.session import load_table
     from pyspark.sql import functions as F
@@ -179,17 +183,27 @@ def run_queries(spark, sf_dir: str) -> dict:
         ("ann_brute_force", brute_force_topk),
         ("ann_lsh", lsh_bucketed_topk),
         ("ann_ivf", ivf_topk),
+        ("ann_sketch", sketch_topk),
     ]:
         t0 = time.monotonic()
         fn(emb, q, k=10).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
     # ANN quality: recall@10 of each approximate path vs the exact brute
-    # force (VERDICT.md round-1 item 3 — quantify what probing lost).
+    # force, with the probed/scored corpus fraction each one pays — the
+    # recall-per-fraction trade IS the ANN scale story (VERDICT r02 item 2/3).
     bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=10).collect()}
     extras = {}
-    for name, fn in [("ann_lsh", lsh_bucketed_topk), ("ann_ivf", ivf_topk)]:
+    for name, fn in [
+        ("ann_lsh", lsh_bucketed_topk),
+        ("ann_ivf", ivf_topk),
+        ("ann_sketch", sketch_topk),
+    ]:
         approx = {(r["query_id"], r["vec_id"]) for r in fn(emb, q, k=10).collect()}
         extras[f"{name}_recall_at_10"] = round(len(bf & approx) / max(len(bf), 1), 3)
+    n = emb.count()
+    nlist = similarity.ivf_nlist(n)
+    extras["ann_ivf_probed_fraction"] = round(similarity.ivf_nprobe(nlist) / nlist, 3)
+    extras["ann_sketch_scored_fraction"] = similarity.RERANK_FRAC_PCT / 100
     return times, extras
 
 
@@ -395,6 +409,92 @@ def query_scaling_study(
     }
 
 
+def _scaled_embeddings_dir(spark, n_vecs: int, dim: int = 64) -> str:
+    """Seed-deterministic isotropic embeddings at the requested size (cached
+    parquet) — the ANN growth corpus."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(REPO, ".bench_data", f"escale_{n_vecs}")
+    marker = os.path.join(path, "embeddings.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        rng = np.random.RandomState(7)
+        mat = rng.normal(size=(n_vecs, dim)).astype(np.float32)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n_vecs, dtype=np.int64), "embedding": list(mat)}
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(path, "embeddings.parquet")
+        )
+    return path
+
+
+def growth_study(sizes=(2_000, 20_000)) -> dict:
+    """Sub-quadratic evidence for the whole near-dup/ANN family (VERDICT r02
+    item 10): run each operator at n and 10n docs/vectors and report wall
+    time, CANDIDATE volume, and verified-output volume.  Quadratic candidate
+    generation would grow candidates ~100× when true-pair density doesn't;
+    the bucket/prefix/sketch shapes should track the true pairs instead."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators import dedup, similarity
+    from document_parser_spark.sources.session import get_spark, load_table
+
+    spark = get_spark(app_name="growth", cpus=DEFAULT_CPUS)
+    out: dict = {"sizes": list(sizes), "ops": {}}
+
+    def record(op: str, n: int, wall: float, cand: int, verified: int) -> None:
+        out["ops"].setdefault(op, {})[str(n)] = {
+            "wall_sec": round(wall, 2), "candidates": cand, "verified": verified,
+        }
+
+    for n in sizes:
+        ddir = _scaled_documents_dir(spark, n)
+        d = load_table(spark, ddir, "documents").select("doc_id", "lang", "source", "text")
+
+        t0 = time.monotonic()
+        cand = dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(d, shingle_k=5)
+        ).count()
+        pairs = dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50).count()
+        record("minhash", n, time.monotonic() - t0, cand, pairs)
+
+        t0 = time.monotonic()
+        sim = dedup.simhash(d)
+        cand = dedup.simhash_candidate_pairs(sim, max_hamming=3).count()
+        pairs = dedup.simhash_near_pairs(sim, max_hamming=3).count()
+        record("simhash", n, time.monotonic() - t0, cand, pairs)
+
+        t0 = time.monotonic()
+        pairs = dedup.ngram_jaccard_pairs(d, threshold_pct=50).count()
+        record("ngram_jaccard", n, time.monotonic() - t0, -1, pairs)
+
+        edir = _scaled_embeddings_dir(spark, n)
+        e = load_table(spark, edir, "embeddings")
+        q = e.filter(F.col("vec_id") < 5)
+        for op, fn in (("ann_ivf", similarity.ivf_topk), ("ann_sketch", similarity.sketch_topk)):
+            t0 = time.monotonic()
+            res = fn(e, q, k=10)
+            res.write.format("noop").mode("overwrite").save()
+            # candidates per query: IVF = probed-list population, sketch = m
+            if op == "ann_ivf":
+                nlist = similarity.ivf_nlist(n)
+                cand = round(similarity.ivf_nprobe(nlist) / nlist * n) * 5
+            else:
+                cand = max(10, (n * similarity.RERANK_FRAC_PCT + 99) // 100) * 5
+            record(op, n, time.monotonic() - t0, cand, 50)
+
+    lo, hi = (str(s) for s in sizes)
+    for op, rows in out["ops"].items():
+        if rows[lo]["candidates"] > 0:
+            rows["candidate_growth"] = round(rows[hi]["candidates"] / max(rows[lo]["candidates"], 1), 1)
+        rows["verified_growth"] = round(rows[hi]["verified"] / max(rows[lo]["verified"], 1), 1)
+        rows["wall_growth"] = round(rows[hi]["wall_sec"] / max(rows[lo]["wall_sec"], 1e-9), 1)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
@@ -402,6 +502,7 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-queries", action="store_true")
+    ap.add_argument("--growth", action="store_true")
     ap.add_argument("--query-subset-internal", action="store_true")
     ap.add_argument("--internal-json", action="store_true")
     ap.add_argument("--docs", type=int, default=None)
@@ -412,6 +513,9 @@ def main() -> None:
         return
     if args.scaling_queries:
         print(json.dumps({"query_scaling": query_scaling_study(args.sf_dir)}))
+        return
+    if args.growth:
+        print(json.dumps({"growth": growth_study()}))
         return
 
     result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only, docs=args.docs)

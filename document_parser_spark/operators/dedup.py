@@ -270,13 +270,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ k, found via the
-    bit-mask-bucket trick (split the fingerprint into k+1 chunks; any pair
-    within distance k agrees on ≥1 chunk → bucket join, never all-pairs).
-    At 60 bits the chunk key space is 2^30 (k=1) / 2^20 (k=2) buckets, so the
-    expected bucket population — and hence candidate volume — stays ~n/2^20
-    per chunk instead of n/32."""
+def simhash_candidate_pairs(
+    sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Pre-verify candidates from the bit-mask-bucket trick: split the
+    fingerprint into k+1 chunks — any pair within hamming k agrees on ≥1
+    chunk → bucket join, never all-pairs.  Exposed separately so the growth
+    study can measure candidate volume vs corpus size."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     keyed = sim.select(
@@ -289,12 +289,20 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH
     )
     a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "chunk_val")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "chunk_val")
-    cand = (
+    return (
         a.join(b, on=["chunk", "chunk_val"], how="inner")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k over the chunk-bucket
+    candidates.  At 60 bits the chunk key space is 2^30 (k=1) / 2^15 (k=3)
+    buckets, so the expected bucket population — and hence candidate volume —
+    stays ~n/2^15 per chunk instead of round 2's n/32."""
+    cand = simhash_candidate_pairs(sim, max_hamming, bits)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming)
