@@ -211,15 +211,16 @@ def test_gopher_gate_single_pass_no_join(spark):
     assert plan.count("Generate explode") == 1, plan
 
 
-def test_ngram_jaccard_reuses_doc_word_frame(spark):
-    """The distinct (doc, word) frame is persisted and reused — the plan
-    shows InMemoryTableScan instead of four explode+distinct rederivations."""
+def test_ngram_jaccard_persist_words_opt_in(spark):
+    """persist_words=True routes all four (doc,word) consumers through the
+    cache (for the corpus-scale write-once pattern); the measured-default
+    False re-derives — see operators/dedup.py for the sf0.1 A/B numbers."""
     from document_parser_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, SF, "documents").select("doc_id", "lang", "source", "text")
-    q = ngram_jaccard_pairs(d, threshold_pct=50)
-    plan = plan_of(q)
+    cached = plan_of(ngram_jaccard_pairs(d, threshold_pct=50, persist_words=True))
     # ≥4 cache-scan nodes = the four consumers read the persisted frame
-    # (each InMemoryTableScan prints its cached child inline, so counting
-    # 'Generate explode' in the flat string would overcount)
-    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert cached.count("InMemoryTableScan") >= 4, cached
+    spark.catalog.clearCache()
+    default = plan_of(ngram_jaccard_pairs(d, threshold_pct=50))
+    assert "InMemoryTableScan" not in default, default
