@@ -9,11 +9,18 @@ Paths:
     int64 (order-independent), and only the final cosine divides in double —
     bit-identical to the DuckDB mirror.  Query norms come from the query's
     OWN vector (not looked up in the corpus), so arbitrary query frames work.
-  * ``lsh_bucketed_topk``      — the ANN scale path: banded sign-LSH
-    (bands × rows_per_band deterministic hyperplanes) buckets vectors; a
-    pair is a candidate iff it shares ≥1 band bucket; exact integer cosine
-    ranks candidates.  Recall < 1 by design but ≫ single-table probing —
-    P(candidate) = 1-(1-p^r)^b vs p^(r·b).
+  * ``lsh_bucketed_topk``      — banded sign-LSH (bands × rows_per_band
+    deterministic hyperplanes) buckets vectors; a pair is a candidate iff it
+    shares ≥1 band bucket; exact integer cosine ranks candidates.
+  * ``ivf_topk``               — IVF-flat with a k-means-refined quantizer
+    (integer-exact Lloyd), nlist ~ √n, nprobe = nlist/8 (≤12.5% probed at
+    any corpus size).  The right tool when the corpus actually clusters.
+  * ``sketch_topk``            — hamming-sketch scan + exact re-rank: the
+    measured winner on THIS corpus (isotropic embeddings, where partition
+    membership is nearly independent of cosine neighborhoods — BASELINE.md
+    has the sweep: sketch 0.995 recall@10 at 10% scored vs IVF ≤0.63 /
+    LSH 0.78 at similar fractions).  At rest the 64 B sketch column is the
+    only thing the full-corpus pass reads.
   * ``cosine_near_dup_pairs``  — embedding near-dup for the dedup family:
     banded-LSH candidates + exact integer cosine threshold.  Never all-pairs.
 
