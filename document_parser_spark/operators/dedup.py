@@ -163,31 +163,139 @@ def minhash_near_dup_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood.  min(Γ(u) ∪ {u}) needs no
+    neighborhood materialization — one groupBy(min) joined back to the
+    directed edge list (no collect_set, so a 10^7-degree hub node costs a
+    wide aggregation, not a driver-sized array)."""
+    d = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    m = (
+        d.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        d.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge max→min, then every node connects
+    its smaller neighbors (and itself) to the minimum among them."""
+    d = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    m = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
+    children = d.join(m, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+    centers = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (
+        children.union(centers).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """Connected components over near-dup pairs: every document that appears
     in ≥1 pair is labeled with the MINIMUM doc_id reachable in its component
     (the canonical representative a dedup pipeline keeps).
 
-    Min-label propagation: each round every node adopts the smallest label
-    among itself and its neighbors; converges in ≤ graph-diameter rounds
-    (near-dup components are shallow — chains longer than a few hops are
-    rare, and ``max_iter`` bounds the pathological case).  Each round is one
-    shuffle join + one aggregation; frames are persisted and convergence is
-    checked with a count, so the driver loop moves no data.  At extreme
-    scale the alternating large-star/small-star variant (same join shape)
-    drops in here.
+    Alternating large-star/small-star (the published MapReduce-scale CC
+    algorithm — Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round hooks whole trees onto component minima, so
+    convergence is O(log n) ROUNDS regardless of graph diameter — a
+    10^6-node chain converges in ~20 rounds where per-hop min-label
+    propagation (kept as ``duplicate_clusters_propagation`` for
+    cross-checking) needs 10^6.  Every round is two groupBy(min)+join
+    shuffles; convergence = edge-set fixpoint, checked with limit(1) counts
+    so the driver moves no data.
 
     Oracle: a recursive CTE enumerating reachable labels (exact same
     fixpoint) — see _SQL_DEDUP_CLUSTERS in __spark_entry__.py."""
+    # orient (a=greater, b=smaller) — the orientation _small_star emits, so
+    # the fixpoint edge-set comparison is apples-to-apples from round 1.
+    # localCheckpoint (not persist): each round's plan must be TRUNCATED, or
+    # the union/distinct/join tree nests per round and analysis overflows the
+    # JVM stack by ~round 7 — the standard lineage cut for iterative graph
+    # algorithms on Spark
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # doc_ids that only ever pair with themselves still label themselves
+    self_only = (
+        pairs.filter(F.col("doc_a") == F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    converged = False
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e = new_e
+        if same:
+            converged = True
+            break
+    if not converged:
+        # the oracle (recursive-CTE fixpoint) and any dedup consumer need the
+        # CONVERGED labeling; returning a partial one silently mislabels
+        # the component
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "alternating star rounds (O(log n) expected — this graph would "
+            f"need > 2^{max_iter} nodes); raise max_iter"
+        )
+    # at the fixpoint e is a star forest (child → component minimum)
+    labels = (
+        e.select(F.col("a").alias("doc_id"), F.col("b").alias("label"))
+        .union(e.select(F.col("b").alias("doc_id"), F.col("b").alias("label")))
+        .union(self_only.select("doc_id", F.col("doc_id").alias("label")))
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    # the final checkpointed e backs `out` lazily — its blocks are reclaimed
+    # with the RDD, no explicit unpersist (and unpersisting here would drop
+    # the data out from under the returned frame)
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+def duplicate_clusters_propagation(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Per-hop min-label propagation twin of ``duplicate_clusters`` — one
+    round per graph-diameter hop.  Kept as the cross-check implementation
+    (tests assert both produce identical labelings); the star variant is the
+    default because diameter-bounded rounds don't survive adversarial
+    chains."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    ).persist()
+    # localCheckpoint per round (same reason as the star variant): the label
+    # frame's plan nests once per round, and 20 un-truncated rounds of
+    # join+agg lineage exhaust driver heap during analysis before the
+    # convergence guard can fire
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
 
     changed = 0
     for _ in range(max_iter):
@@ -202,7 +310,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -211,7 +319,6 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

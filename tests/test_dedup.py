@@ -102,6 +102,38 @@ def test_duplicate_clusters_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_star_equals_propagation(spark):
+    """The large/small-star default and the min-label-propagation twin must
+    produce identical labelings on a multi-component graph with shared-node
+    merges (1-2-3 joins 3-7, star center 20, plus an isolated pair)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 3), (20, 21), (20, 22), (20, 23), (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_propagation(pairs).collect()
+    }
+    assert star == prop
+    assert star[7] == 1 and star[23] == 20 and star[41] == 40
+
+
+def test_duplicate_clusters_deep_chain_beyond_diameter_bound(spark):
+    """A 64-node chain (diameter 63) exceeds propagation's max_iter=20
+    per-hop budget but the alternating star rounds converge in O(log n):
+    the star variant labels the whole chain with the global min while the
+    propagation twin raises its convergence guard."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(1, 64)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 65)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters_propagation(pairs).collect()
+
+
 def test_pack_shards_budget_property(spark):
     """Greedy packing: a shard only exceeds the budget by its LAST document
     (each doc goes to the shard where its first token lands), and shard ids
