@@ -827,8 +827,10 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 
 def _q_simhash(spark, sf_dir):
+    # Arrow fast path (zero-shuffle, per-doc fingerprint); the column twin
+    # dedup.simhash is equality-gated against it in tests/test_dedup.py
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash(d).orderBy("doc_id")
+    return dedup.simhash_arrow(d).orderBy("doc_id")
 
 
 # 60-bit mirror of operators/dedup.py simhash: 15 md5 hex chars → signed-safe
@@ -1183,7 +1185,7 @@ def _q_simhash_near(spark, sf_dir):
     16-bit/32-bucket version whose 1104 'pairs' were mostly fingerprint
     aliasing."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_near_pairs(dedup.simhash(d), max_hamming=3)
+    return dedup.simhash_near_pairs(dedup.simhash_arrow(d), max_hamming=3)
 
 
 _SQL_SIMHASH_NEAR = rf"""

@@ -461,7 +461,7 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         record("minhash", n, time.monotonic() - t0, cand, pairs)
 
         t0 = time.monotonic()
-        sim = dedup.simhash(d)
+        sim = dedup.simhash_arrow(d)
         cand = dedup.simhash_candidate_pairs(sim, max_hamming=3).count()
         pairs = dedup.simhash_near_pairs(sim, max_hamming=3).count()
         record("simhash", n, time.monotonic() - t0, cand, pairs)

@@ -102,6 +102,28 @@ def test_duplicate_clusters_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_simhash_arrow_equals_column_twin(spark):
+    """The zero-shuffle Arrow fingerprint must be byte-identical to the
+    explode+aggregate column path, including dropping docs with no words
+    (empty / whitespace-only text) exactly like the explode does."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, ""),
+            (4, "   \t\n  "),
+            (5, "unicode wörds détente naïve unicode wörds"),
+            (6, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    col = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    arr = {r["doc_id"]: r["simhash"] for r in dedup.simhash_arrow(df).collect()}
+    assert col == arr
+    assert 3 not in arr and 4 not in arr  # wordless docs dropped by BOTH paths
+    assert set(arr) == {1, 2, 5, 6}
+
+
 def test_duplicate_clusters_star_equals_propagation(spark):
     """The large/small-star default and the min-label-propagation twin must
     produce identical labelings on a multi-component graph with shared-node
