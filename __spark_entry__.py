@@ -776,8 +776,8 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 # Same pair derivation as _SQL_MINHASH_PAIRS, then min-reachable-label per
-# node via a recursive CTE (the exact fixpoint the Spark propagation loop
-# converges to).
+# node via a recursive CTE — the exact fixpoint the Spark large-star/
+# small-star loop (and its propagation twin) converges to.
 _SQL_DEDUP_CLUSTERS = rf"""
 WITH RECURSIVE w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
 sh AS (
