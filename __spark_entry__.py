@@ -1333,6 +1333,39 @@ ORDER BY r.doc_id
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing verbatim 3-gram
+    shingles with a deterministic eval subset (doc_id % 23 == 0) — broadcast
+    benchmark shingles, one map-side probe of the corpus shingle stream."""
+    from document_parser_spark.operators.curation import decontamination_overlap
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return decontamination_overlap(train, bench, shingle_k=3)
+
+
+_SQL_DECONTAMINATE = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 23 = 0),
+train AS (SELECT * FROM dsh WHERE doc_id % 23 <> 0),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM train t JOIN bench b ON b.shingle = t.shingle
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, p.n_shingles, h.n_overlap
+FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (en 50%, fr 100%, rest 25%)."""
     from document_parser_spark.operators.curation import stratified_sample
@@ -1775,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
         "gopher_gate": _q_gopher_gate,
+        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pack_shards": _q_pack_shards,
         "fingerprints": _q_fingerprints,
@@ -1826,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION_STATS,
         "scrub_pii": _SQL_SCRUB_PII,
         "gopher_gate": _SQL_GOPHER_GATE,
+        "decontaminate": _SQL_DECONTAMINATE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_shards": _SQL_PACK_SHARDS,
         "fingerprints": _SQL_FINGERPRINTS,

@@ -197,3 +197,53 @@ def curate_corpus(
         .select("doc_id", "n_words", "lang_pred")
         .orderBy("doc_id")
     )
+
+
+def decontamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination scan (the standard pretraining gate — flag
+    training documents sharing verbatim n-gram shingles with an eval set, as
+    in the Gopher / GPT-3 contamination methodology, public papers):
+
+      * benchmark shingles are DISTINCT and **broadcast** — eval sets are
+        thousands-to-millions of shingles, tiny next to a 100 TB corpus, so
+        the contamination scan is ONE map-side hash probe per corpus
+        shingle: no shuffle of corpus data at all, at any corpus size;
+      * training docs already in the benchmark are excluded by anti-join on
+        doc_id (they are contaminated by definition, not findings);
+      * output is integer-exact: per flagged doc, the count of its DISTINCT
+        shingles that appear anywhere in the benchmark, plus its own
+        distinct-shingle total, so callers threshold on the exact ratio
+        100*n_overlap >= pct*n_shingles downstream.
+
+    Only docs with ≥1 overlapping shingle are returned (the contaminated
+    set a pipeline quarantines)."""
+    from .text import word_shingles
+
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    ).distinct()
+    bench_ids = benchmark.select("doc_id").distinct()
+    train_sh = (
+        docs.join(bench_ids, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    per_doc = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select("doc_id", "n_shingles", "n_overlap")
+        .orderBy("doc_id")
+    )

@@ -156,6 +156,42 @@ def test_duplicate_clusters_deep_chain_beyond_diameter_bound(spark):
         dedup.duplicate_clusters_propagation(pairs).collect()
 
 
+def test_duplicate_clusters_random_graph_vs_reference(spark):
+    """Seeded random graph: star labeling must equal a pure-Python
+    union-find ground truth AND the propagation twin (diameter stays inside
+    propagation's round budget at this size)."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {n for e in edges for n in e}
+    truth = {n: find(n) for n in in_graph}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_propagation(pairs).collect()
+    }
+    assert star == truth
+    assert prop == truth
+
+
 def test_pack_shards_budget_property(spark):
     """Greedy packing: a shard only exceeds the budget by its LAST document
     (each doc goes to the shard where its first token lands), and shard ids
@@ -244,3 +280,28 @@ def test_word_shingles_arrow_equals_column_twin(spark):
     assert got == want
     assert got[5] == ["a b c d"][0:0] + ["a b c d"] if False else got[5] == want[5]
     assert len(got[6]) == 2998
+
+
+def test_decontamination_overlap_semantics(spark):
+    """Docs sharing a 3-gram with the benchmark are flagged with exact
+    distinct-shingle counts; benchmark members and clean docs are absent."""
+    from document_parser_spark.operators.curation import decontamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a1 b1 the quick brown fox c1"),   # shares 2 shingles
+            (2, "totally unrelated words here now"),
+            (3, "the quick brown"),                 # shares exactly 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in decontamination_overlap(train, bench, shingle_k=3).collect()
+    }
+    # doc 1: shingles of 7 words = 5 distinct; overlaps 'the quick brown' and
+    # 'quick brown fox'.  doc 3: 1 shingle, 1 overlap.  doc 2: clean, absent.
+    assert rows == {1: (5, 2), 3: (1, 1)}

@@ -128,6 +128,17 @@ def test_curate_corpus_is_join_free(spark):
     assert "Join" not in plan, plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The contamination probe must be a broadcast hash join on the (small)
+    benchmark shingle set — no shuffle of the corpus shingle stream into a
+    sort-merge join, no cartesian fallback."""
+    q = entrymod.queries()["decontaminate"](spark, SF)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ngram_jaccard_all_equi_joins(spark):
     """Prefix-filtered Jaccard must stay hash-join shaped: no cartesian or
     nested-loop fallback anywhere in candidate generation or verify."""
