@@ -152,6 +152,7 @@ QUERY_NAMES = [
     "embedding_near_dup",
     "simhash_near_pairs",
     "extract_html_spans",
+    "decontaminate",
 ]
 
 
