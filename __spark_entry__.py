@@ -767,6 +767,59 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: pairs INTRODUCED by a new shard (doc_id %
+    5 == 0) against the already-deduped rest of the corpus — new×(all)
+    band-signature candidates, old×old never regenerated, verify shingles
+    semi-joined to candidate docs only.  Equals the full-corpus pair set
+    filtered to ≥1 new-side doc (the oracle's closed form)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_incremental_pairs(new, corpus, shingle_k=5, threshold_pct=50)
+
+
+# The full-corpus pair derivation (same CTEs as _SQL_MINHASH_PAIRS) filtered
+# to pairs with at least one new-shard side: a sig-match pair has >=1 new
+# side iff the incremental new x (corpus u new) join generates it, so the
+# closed form is exact.
+_SQL_MINHASH_INCREMENTAL = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS g(i)
+),
+hs AS (SELECT doc_id, sha256(shingle) AS s FROM sh),
+mins AS (
+  SELECT doc_id, h, min(substr(s, 8 * h + 1, 8)) AS mh
+  FROM hs, unnest(generate_series(0, 7)) AS t(h)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id, h // 2 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS sig
+  FROM mins GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh + sb.n_sh - i.n_inter AS n_union
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 100 * i.n_inter >= 50 * (sa.n_sh + sb.n_sh - i.n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected components over the verified MinHash near-dup pairs — the
     canonical-representative labeling a dedup pipeline keeps per cluster."""
@@ -1797,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1850,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _SQL_MINHASH_PAIRS,
+        "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "simhash_docs": _SQL_SIMHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -130,22 +130,19 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def minhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    num_hashes: int = DEFAULT_BANDS,
-    rows_per_band: int = 2,
-    shingle_k: int = 3,
-    threshold_pct: int = 50,
+def _verify_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    shingle_k: int,
+    threshold_pct: int,
 ) -> DataFrame:
-    """MinHash LSH candidates VERIFIED by exact shingle-set Jaccard:
-    ``100·|A∩B| ≥ t·|A∪B|`` in integer arithmetic.  The verify join touches
-    only candidate pairs (bounded by banding precision), never the corpus
-    cross product."""
-    cand = minhash_candidate_pairs(
-        minhash_signatures(df, text_col, num_hashes, rows_per_band, shingle_k)
-    )
-    dsh = _doc_shingles(df, text_col, shingle_k).distinct()
+    """Exact shingle-set Jaccard over candidate pairs only:
+    ``100·|A∩B| ≥ t·|A∪B|`` in integer arithmetic.  ``docs`` only needs the
+    documents that can appear in ``cand`` — callers doing incremental work
+    semi-join it down first so the shingle explode never re-reads the
+    whole corpus."""
+    dsh = _doc_shingles(docs, text_col, shingle_k).distinct()
     sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = dsh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -165,6 +162,75 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b", "n_inter", "n_union")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_BANDS,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """MinHash LSH candidates VERIFIED by exact shingle-set Jaccard
+    (``_verify_jaccard``).  The verify join touches only candidate pairs
+    (bounded by banding precision), never the corpus cross product."""
+    cand = minhash_candidate_pairs(
+        minhash_signatures(df, text_col, num_hashes, rows_per_band, shingle_k)
+    )
+    return _verify_jaccard(cand, df, text_col, shingle_k, threshold_pct)
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_BANDS,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Near-dup pairs INTRODUCED by a new shard against an existing corpus —
+    the incremental ingest pattern at 100 TB: appending m docs to an n-doc
+    corpus pairs new×(corpus ∪ new) through the band-signature bucket join
+    and NEVER regenerates old×old pairs, so per-shard cost tracks the shard,
+    not the corpus.  In production the (doc_id, band, sig) signature table
+    is persisted and appended per shard; this function recomputes the corpus
+    side only because the correctness oracle needs a closed form —
+    ``minhash_signatures(corpus)`` writes that table once.
+
+    Verify is shingle-exact but touches ONLY docs that appear in a candidate
+    pair (semi-join before the shingle explode) — the corpus text is never
+    re-read wholesale.  Output matches ``minhash_near_dup_pairs`` on the
+    same union, filtered to pairs with ≥1 new-side doc."""
+    sig_new = minhash_signatures(new_docs, text_col, num_hashes, rows_per_band, shingle_k)
+    sig_old = minhash_signatures(
+        corpus_docs, text_col, num_hashes, rows_per_band, shingle_k
+    )
+    left = sig_new.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    right = (
+        sig_old.unionByName(sig_new)
+        .select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    )
+    cand = (
+        left.join(right, on=["band", "sig"], how="inner")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    all_docs = new_docs.select("doc_id", text_col).unionByName(
+        corpus_docs.select("doc_id", text_col)
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = all_docs.join(cand_ids, "doc_id", "left_semi")
+    return _verify_jaccard(cand, touched, text_col, shingle_k, threshold_pct)
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -305,3 +305,34 @@ def test_decontamination_overlap_semantics(spark):
     # doc 1: shingles of 7 words = 5 distinct; overlaps 'the quick brown' and
     # 'quick brown fox'.  doc 3: 1 shingle, 1 overlap.  doc 2: clean, absent.
     assert rows == {1: (5, 2), 3: (1, 1)}
+
+
+def test_minhash_incremental_equals_filtered_full(spark):
+    """Incremental shard-vs-corpus pairs = the full-corpus pair set filtered
+    to >=1 new-side doc; old x old near-dups (20,21) are NOT regenerated."""
+    base = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(20, base), (21, base), (22, "nothing in common with anything else at all")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(30, base + " eleven"), (31, "fresh content unlike every other document here")],
+        "doc_id long, text string",
+    )
+    inc = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.minhash_incremental_pairs(
+            new, corpus, shingle_k=3, threshold_pct=50
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.minhash_near_dup_pairs(
+            corpus.union(new), shingle_k=3, threshold_pct=50
+        ).collect()
+    }
+    new_ids = {30, 31}
+    expected = {p: v for p, v in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert (20, 21) in full and (20, 21) not in inc  # old x old stays untouched
+    assert any(30 in p for p in inc)  # the new near-dup IS found
