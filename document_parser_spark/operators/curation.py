@@ -211,8 +211,9 @@ def decontamination_overlap(
 
       * benchmark shingles are DISTINCT and **broadcast** — eval sets are
         thousands-to-millions of shingles, tiny next to a 100 TB corpus, so
-        the contamination scan is ONE map-side hash probe per corpus
-        shingle: no shuffle of corpus data at all, at any corpus size;
+        the contamination probe is a map-side broadcast hash join per corpus
+        shingle; the corpus is scanned ONCE, and the only corpus-sized
+        shuffle is the per-doc distinct-count aggregation;
       * training docs already in the benchmark are excluded by anti-join on
         doc_id (they are contaminated by definition, not findings);
       * output is integer-exact: per flagged doc, the count of its DISTINCT
@@ -224,26 +225,31 @@ def decontamination_overlap(
     set a pipeline quarantines)."""
     from .text import word_shingles
 
-    bench_sh = benchmark.select(
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    ).distinct()
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     bench_ids = benchmark.select("doc_id").distinct()
-    train_sh = (
+    probed = (
         docs.join(bench_ids, "doc_id", "left_anti")
         .select(
             "doc_id",
             F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
         )
-        .distinct()
-    )
-    per_doc = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        train_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .join(F.broadcast(bench_sh), "shingle", "left")
     )
     return (
-        hits.join(per_doc, "doc_id")
+        probed.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct(
+                F.when(F.col("_hit") == 1, F.col("shingle"))
+            ).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
         .select("doc_id", "n_shingles", "n_overlap")
         .orderBy("doc_id")
     )

@@ -207,11 +207,32 @@ def minhash_incremental_pairs(
     sig_old = minhash_signatures(
         corpus_docs, text_col, num_hashes, rows_per_band, shingle_k
     )
-    left = sig_new.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    right = (
-        sig_old.unionByName(sig_new)
-        .select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    all_docs = new_docs.select("doc_id", text_col).unionByName(
+        corpus_docs.select("doc_id", text_col)
     )
+    return minhash_pairs_from_signatures(
+        sig_new, sig_old.unionByName(sig_new), all_docs,
+        text_col, shingle_k, threshold_pct,
+    )
+
+
+def minhash_pairs_from_signatures(
+    sig_new: DataFrame,
+    sig_all: DataFrame,
+    texts: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """The shared core of incremental dedup (used by
+    ``minhash_incremental_pairs`` and jobs/dedup_job.py, which reads
+    ``sig_all`` from the persisted signature table): new-side×all
+    band-signature candidates, then shingle-exact verify over ONLY the docs
+    that appear in a candidate pair.  ``texts`` must cover every doc_id in
+    either signature frame (extra rows are harmless — the semi-join drops
+    them)."""
+    left = sig_new.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    right = sig_all.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (
         left.join(right, on=["band", "sig"], how="inner")
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -221,15 +242,12 @@ def minhash_incremental_pairs(
         )
         .distinct()
     )
-    all_docs = new_docs.select("doc_id", text_col).unionByName(
-        corpus_docs.select("doc_id", text_col)
-    )
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    touched = all_docs.join(cand_ids, "doc_id", "left_semi")
+    touched = texts.select("doc_id", text_col).join(cand_ids, "doc_id", "left_semi")
     return _verify_jaccard(cand, touched, text_col, shingle_k, threshold_pct)
 
 
@@ -294,21 +312,22 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # localCheckpoint (not persist): each round's plan must be TRUNCATED, or
     # the union/distinct/join tree nests per round and analysis overflows the
     # JVM stack by ~round 7 — the standard lineage cut for iterative graph
-    # algorithms on Spark
-    e = (
+    # algorithms on Spark.  ONE checkpoint covers both the edge set and the
+    # self-only ids: deriving self_only from raw `pairs` would keep the whole
+    # upstream near-dup pipeline in the returned frame's lineage and re-run
+    # it at collect time.
+    base = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("a"),
             F.least("doc_a", "doc_b").alias("b"),
         )
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = base.filter(F.col("a") != F.col("b"))
     # doc_ids that only ever pair with themselves still label themselves
-    self_only = (
-        pairs.filter(F.col("doc_a") == F.col("doc_b"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
+    self_only = base.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("doc_id")
     )
     converged = False
     for _ in range(max_iter):

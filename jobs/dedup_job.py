@@ -13,14 +13,16 @@ signature table — across shard ingests.  Per shard it:
      over the SHARD only — the corpus is never re-shingled);
   2. joins them against the accumulated signature table to emit the
      near-dup pairs the shard INTRODUCES (old x old never regenerated;
-     exact-Jaccard verify touches only candidate docs' text);
-  3. appends the shard's signatures and text to the state tables,
-     idempotently: a re-submitted shard-id is detected in the manifest and
-     skipped, so crash-rerun never double-ingests (the same contract as
-     extract_job's bucket resume).
+     exact-Jaccard verify touches only candidate docs' text) — the shared
+     core is ``dedup.minhash_pairs_from_signatures``;
+  3. writes the shard's signatures and text into state tables PARTITIONED
+     BY shard_id with dynamic partition overwrite, so a crash-rerun
+     overwrites the shard's own partition instead of double-appending —
+     idempotent per shard regardless of where a previous attempt died;
+     the manifest row (written last) makes a completed shard a no-op.
 
-Prints ONE JSON line: shard size, candidate/verified pair counts, and
-whether the shard was a resume no-op.
+Prints ONE JSON line: shard size, verified pair count, and whether the
+shard was a resume no-op.
 """
 
 from __future__ import annotations
@@ -28,6 +30,21 @@ from __future__ import annotations
 import argparse
 import json
 import os
+
+
+def _read_state(spark, path):
+    """Read a state parquet, treating ONLY path-absence as 'no state yet'.
+    Any other failure (corrupt footer, permissions, schema drift) must
+    surface — silently degrading to have_state=False would emit only
+    intra-shard pairs and permanently miss shard-vs-corpus near-dups."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def main() -> None:
@@ -46,12 +63,13 @@ def main() -> None:
         SparkSession.builder.appName(f"dedup:{args.shard_id}")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
 
     from document_parser_spark.operators.dedup import (
-        _verify_jaccard,
+        minhash_pairs_from_signatures,
         minhash_signatures,
     )
 
@@ -59,13 +77,9 @@ def main() -> None:
     txt_path = os.path.join(args.state, "texts")
     manifest = os.path.join(args.state, "manifest")
 
-    done = set()
-    try:
-        done = {
-            r["shard_id"] for r in spark.read.parquet(manifest).collect()
-        }  # manifest is tiny: one row per ingested shard
-    except Exception:
-        pass
+    mf = _read_state(spark, manifest)
+    # manifest is tiny: one row per ingested shard
+    done = {r["shard_id"] for r in mf.collect()} if mf is not None else set()
     if args.shard_id in done:
         print(json.dumps({"shard_id": args.shard_id, "resumed_noop": True,
                           "docs": 0, "pairs": 0}))
@@ -75,49 +89,42 @@ def main() -> None:
     n_docs = shard.count()
     sig_new = minhash_signatures(shard, shingle_k=args.shingle_k)
 
-    have_state = True
-    try:
-        sig_old = spark.read.parquet(sig_path)
-        texts_old = spark.read.parquet(txt_path)
-    except Exception:
-        have_state = False
-
-    left = sig_new.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    if have_state:
-        right_sigs = sig_old.unionByName(sig_new)
-        all_texts = texts_old.unionByName(shard)
+    sig_old = _read_state(spark, sig_path)
+    texts_old = _read_state(spark, txt_path)
+    if sig_old is not None:
+        # a crashed previous attempt may have written this shard's partition
+        # already — exclude it so the candidate join can't pair the shard
+        # against its own half-written copy
+        sig_all = sig_old.filter(F.col("shard_id") != args.shard_id).select(
+            "doc_id", "band", "sig"
+        ).unionByName(sig_new)
+        all_texts = texts_old.filter(F.col("shard_id") != args.shard_id).select(
+            "doc_id", "text"
+        ).unionByName(shard)
     else:
-        right_sigs = sig_new
+        sig_all = sig_new
         all_texts = shard
-    cand = (
-        left.join(
-            right_sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
-            on=["band", "sig"],
-        )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-        )
-        .distinct()
-    )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    touched = all_texts.join(cand_ids, "doc_id", "left_semi")
-    pairs = _verify_jaccard(cand, touched, "text", args.shingle_k, args.threshold_pct)
-    n_pairs = pairs.count()
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(args.state, f"pairs_{args.shard_id}")
-    )
 
-    # append state LAST, manifest after data: a crash between the two leaves
-    # a re-runnable shard (dup signature rows are impossible because the
-    # manifest gate above makes the append at-most-once per shard_id)
-    sig_new.write.mode("append").parquet(sig_path)
-    shard.write.mode("append").parquet(txt_path)
+    pairs = minhash_pairs_from_signatures(
+        sig_new, sig_all, all_texts,
+        shingle_k=args.shingle_k, threshold_pct=args.threshold_pct,
+    )
+    pairs_path = os.path.join(args.state, f"pairs_{args.shard_id}")
+    pairs.write.mode("overwrite").parquet(pairs_path)
+    # count the WRITTEN output — counting the lazy frame first would execute
+    # the whole candidate+verify pipeline twice
+    n_pairs = spark.read.parquet(pairs_path).count()
+
+    # state writes are idempotent per shard: partitioned by shard_id with
+    # dynamic overwrite, a rerun replaces this shard's partition in place.
+    # The manifest row goes LAST — any crash before it leaves a state a full
+    # rerun of the same command repairs
+    sig_new.withColumn("shard_id", F.lit(args.shard_id)).write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(sig_path)
+    shard.withColumn("shard_id", F.lit(args.shard_id)).write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(txt_path)
     spark.createDataFrame([(args.shard_id,)], "shard_id string").write.mode(
         "append"
     ).parquet(manifest)
