@@ -478,16 +478,47 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
             t0 = time.monotonic()
             res = fn(e, q, k=10)
             res.write.format("noop").mode("overwrite").save()
-            # candidates per query: IVF = probed-list population, sketch = m
+            wall = time.monotonic() - t0
             if op == "ann_ivf":
+                # MEASURED probed-list population (not the nprobe/nlist
+                # closed form): count the actual rows the probe join scores,
+                # so a skewed quantizer shows up as superlinear growth here
                 nlist = similarity.ivf_nlist(n)
-                cand = round(similarity.ivf_nprobe(nlist) / nlist * n) * 5
+                nprobe = similarity.ivf_nprobe(nlist)
+                cids, cmat = similarity.ivf_centroids_kmeans(e, nlist)
+                assign = e.select(
+                    "vec_id",
+                    F.element_at(
+                        similarity._probe_udf(cids, cmat, 1)(F.col("embedding")), 1
+                    ).alias("cid"),
+                )
+                probes = q.select(
+                    F.col("vec_id").alias("qid"),
+                    F.explode(
+                        similarity._probe_udf(cids, cmat, nprobe)(F.col("embedding"))
+                    ).alias("cid"),
+                )
+                cand = (
+                    probes.join(assign, "cid")
+                    .filter(F.col("qid") != F.col("vec_id"))
+                    .count()
+                )
             else:
+                # sketch scores exactly the top rerank-frac by CONSTRUCTION
                 cand = max(10, (n * similarity.RERANK_FRAC_PCT + 99) // 100) * 5
-            record(op, n, time.monotonic() - t0, cand, 50)
+            record(op, n, wall, cand, 50)
 
     lo, hi = (str(s) for s in sizes)
+    # provenance of the candidate counts, so derived numbers can't read as
+    # measurements: minhash/simhash/ivf are counted from executed joins,
+    # sketch is exact-by-construction (top rerank-frac), ngram's prefix
+    # filter never materializes a candidate set (-1)
+    basis = {
+        "minhash": "measured", "simhash": "measured", "ann_ivf": "measured",
+        "ann_sketch": "by-construction", "ngram_jaccard": "n/a",
+    }
     for op, rows in out["ops"].items():
+        rows["candidate_basis"] = basis.get(op, "measured")
         if rows[lo]["candidates"] > 0:
             rows["candidate_growth"] = round(rows[hi]["candidates"] / max(rows[lo]["candidates"], 1), 1)
         rows["verified_growth"] = round(rows[hi]["verified"] / max(rows[lo]["verified"], 1), 1)

@@ -207,9 +207,21 @@ class _DomScanner(HTMLParser):
             self._chunk_depth = self._depth
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        # a self-closing tag must undo EVERY counter handle_starttag bumped,
+        # not just _depth: a leaked _drop_depth from <script/> silently drops
+        # every later span, a leaked _boiler_depth from <nav/> marks all
+        # later real content boilerplate, a leaked _link_depth skews
+        # link-density
         self.handle_starttag(tag, attrs)
         if tag not in _VOID_TAGS:
             self._depth -= 1
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(self._drop_depth - 1, 0)
+        elif tag in _BOILER_ANCESTORS:
+            self._flush_text()
+            self._boiler_depth = max(self._boiler_depth - 1, 0)
+        elif tag == "a":
+            self._link_depth = max(self._link_depth - 1, 0)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:

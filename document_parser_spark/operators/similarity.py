@@ -47,7 +47,11 @@ ROWS_PER_BAND = 4   # hyperplanes per band (16 buckets each)
 # p = 1 - θ/π.  At the corpus' near-neighbor band (cos≈0.45, p≈0.65):
 # b=4 ⇒ ~0.55 measured 0.58;  b=8 ⇒ ~0.80 — doubling bands doubles
 # candidate volume but keeps per-band selectivity (2^r buckets) unchanged.
-SCALE = 1e8         # float → int scaling (|val| ≤ 9 keeps 64·(9e8)² < 2^63)
+# float → int scaling.  Overflow envelope for the int64 dot products (dim 64):
+# dim·(|val|·SCALE)² < 2^63 ⇒ |val| ≤ ~3.7 (64·(3.7e8)² ≈ 8.8e18 < 9.22e18).
+# Unit-norm embeddings (components ≪ 1) sit far inside; feeding raw
+# unnormalized vectors with larger components would wrap silently in numpy.
+SCALE = 1e8
 LLOYD_ITERS = 2     # IVF: integer-exact k-means refinement rounds
 
 

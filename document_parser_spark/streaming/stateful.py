@@ -30,23 +30,30 @@ def fold_events(
     """Pure session-fold core (unit-testable): fold sorted event times into
     the open (start_us, last_us, n) state; returns (closed sessions, state).
 
-    A within-watermark late event older than the stored session end folds in
-    via min/max — overwriting ``last_us`` backwards would lower the timeout
-    timestamp and let a later event falsely split one session in two
-    (ADVICE r02, streaming/stateful.py)."""
+    Exact interval merge: the open state and each event are intervals,
+    sorted and coalesced when the gap between one's start and the previous
+    one's end is ≤ gap_us — the same fixpoint batch sessionization computes
+    over the union.  This covers BOTH late-event hazards: a within-watermark
+    late event inside the session folds in without moving ``last_us``
+    backwards (ADVICE r02), and a late event more than gap_us BEFORE the
+    open session's start closes as its own earlier session instead of being
+    min()-merged across a super-gap boundary (it can never extend the open
+    session).  All but the newest merged interval close immediately."""
     start_us, last_us, n = state
-    closed: list = []
-    for t in ts_sorted:
-        if last_us is not None and t - last_us > gap_us:
-            closed.append((start_us, last_us, n))
-            start_us, last_us, n = None, None, 0
-        if start_us is None:
-            start_us, last_us = t, t
+    intervals = [(t, t, 1) for t in ts_sorted]
+    if start_us is not None:
+        intervals.append((start_us, last_us, n))
+    if not intervals:
+        return [], (start_us, last_us, n)
+    intervals.sort()
+    merged: list = []
+    for s, e, c in intervals:
+        if merged and s - merged[-1][1] <= gap_us:
+            ps, pe, pc = merged[-1]
+            merged[-1] = (ps, max(pe, e), pc + c)
         else:
-            start_us = min(start_us, t)
-            last_us = max(last_us, t)
-        n += 1
-    return closed, (start_us, last_us, n)
+            merged.append((s, e, c))
+    return merged[:-1], merged[-1]
 
 
 def sessionize_stream(

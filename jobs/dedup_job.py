@@ -91,14 +91,17 @@ def main() -> None:
 
     sig_old = _read_state(spark, sig_path)
     texts_old = _read_state(spark, txt_path)
-    if sig_old is not None:
-        # a crashed previous attempt may have written this shard's partition
-        # already — exclude it so the candidate join can't pair the shard
-        # against its own half-written copy
-        sig_all = sig_old.filter(F.col("shard_id") != args.shard_id).select(
+    if sig_old is not None and texts_old is not None and done:
+        # only manifest-COMPLETED shards count as state: a crashed previous
+        # attempt may have written partial partitions (this shard's own, or
+        # another shard's signatures without its texts) — those are invisible
+        # until their shard re-runs and overwrites them, so the candidate
+        # join never pairs against half-written state
+        completed = sorted(done)
+        sig_all = sig_old.filter(F.col("shard_id").isin(completed)).select(
             "doc_id", "band", "sig"
         ).unionByName(sig_new)
-        all_texts = texts_old.filter(F.col("shard_id") != args.shard_id).select(
+        all_texts = texts_old.filter(F.col("shard_id").isin(completed)).select(
             "doc_id", "text"
         ).unionByName(shard)
     else:

@@ -131,3 +131,16 @@ def test_html_nested_and_malformed():
     )
     all_text = " ".join(s["text"] for s in messy["spans"])
     assert "first" in all_text and "trailing content survives" in all_text
+
+
+def test_self_closing_drop_and_boiler_tags_do_not_leak():
+    """XHTML-style self-closing <script/> / <nav/> must undo the drop/boiler
+    counters: content after them is neither dropped nor boilerplate."""
+    from document_parser_spark.kernel.html import parse_html_document
+
+    r = parse_html_document('<p>before</p><script src="x.js"/><p>after text</p>')
+    assert [s["text"] for s in r["spans"]] == ["before", "after text"]
+    r2 = parse_html_document("<nav/><p>real content here after nav</p>")
+    spans = [s for s in r2["spans"] if s["text"]]
+    assert spans and spans[0]["kind"] == "text"
+    assert spans[0]["text"] == "real content here after nav"

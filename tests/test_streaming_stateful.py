@@ -89,3 +89,25 @@ def test_fold_events_late_event_does_not_move_session_backwards():
     # and a genuine gap still closes
     closed, state = fold_events(state, [s(2000)], gap)
     assert closed == [(-s(50), s(900), 5)] and state == (s(2000), s(2000), 1)
+
+
+def test_fold_events_super_gap_late_event_closes_alone():
+    """A within-watermark event more than gap before the open session start
+    must close as its own earlier session, not drag session_start backwards
+    across a super-gap boundary (batch would emit two sessions)."""
+    from document_parser_spark.streaming.stateful import fold_events
+
+    gap = 10 * 60 * 1_000_000
+    h = 3_600_000_000  # 1h in us
+    open_state = (10 * h, 10 * h, 1)   # session open at 10:00
+    closed, state = fold_events(open_state, [9 * h], gap)
+    assert closed == [(9 * h, 9 * h, 1)]
+    assert state == (10 * h, 10 * h, 1)
+    # two late events within gap of EACH OTHER merge into one closed session
+    closed2, state2 = fold_events(open_state, [9 * h, 9 * h + gap // 2], gap)
+    assert closed2 == [(9 * h, 9 * h + gap // 2, 2)]
+    assert state2 == (10 * h, 10 * h, 1)
+    # a late event within gap of the open START still folds in
+    closed3, state3 = fold_events(open_state, [10 * h - gap // 2], gap)
+    assert closed3 == []
+    assert state3 == (10 * h - gap // 2, 10 * h, 2)
