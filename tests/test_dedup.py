@@ -336,3 +336,14 @@ def test_minhash_incremental_equals_filtered_full(spark):
     assert inc == expected
     assert (20, 21) in full and (20, 21) not in inc  # old x old stays untouched
     assert any(30 in p for p in inc)  # the new near-dup IS found
+
+
+def test_duplicate_clusters_empty_and_self_pair_edges(spark):
+    """Empty pair frames converge immediately to empty output in BOTH
+    implementations; a pure self-pair labels itself."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.duplicate_clusters(empty).collect() == []
+    assert dedup.duplicate_clusters_propagation(empty).collect() == []
+    one = spark.createDataFrame([(7, 7)], "doc_a long, doc_b long")
+    got = [(r["doc_id"], r["cluster_id"]) for r in dedup.duplicate_clusters(one).collect()]
+    assert got == [(7, 7)]
