@@ -111,3 +111,45 @@ def test_fold_events_super_gap_late_event_closes_alone():
     closed3, state3 = fold_events(open_state, [10 * h - gap // 2], gap)
     assert closed3 == []
     assert state3 == (10 * h - gap // 2, 10 * h, 2)
+
+
+def test_stateful_super_gap_late_event_end_to_end(spark):
+    """A within-watermark late event older than the open session by more
+    than the gap must emit as its OWN closed session through the real
+    applyInPandasWithState stream, leaving the open session intact."""
+    from datetime import datetime
+
+    from document_parser_spark.streaming.stateful import sessionize_stream
+
+    workdir = f"{TMP}/stategap-{uuid.uuid4().hex[:8]}"
+    name = f"sgap_{uuid.uuid4().hex[:6]}"
+    t = lambda s: datetime.fromtimestamp(1_700_000_000 + s)
+    try:
+        # batch 1: open a session at t+3600
+        _write(spark, f"{workdir}/in", [(1, t(3600))])
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{workdir}/in")
+        )
+        q = (
+            sessionize_stream(stream, gap_sec=600, watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0
+
+        # batch 2: late event one hour BEFORE the open session (inside the
+        # 2 h watermark, outside the 10 min gap) → its own closed session
+        _write(spark, f"{workdir}/in", [(1, t(0))])
+        q.processAllAvailable()
+        closed = spark.table(name).collect()
+        assert len(closed) == 1
+        assert closed[0]["n_events"] == 1
+        assert closed[0]["session_start"] == closed[0]["session_end"] == t(0)
+        q.stop()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
