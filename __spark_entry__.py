@@ -1419,6 +1419,34 @@ ORDER BY h.doc_id
 """
 
 
+def _q_repeated_spans(spark, sf_dir):
+    """Corpus-internal verbatim-passage scan: 10-word windows appearing in
+    ≥2 distinct docs, emitted span-level (doc, 1-based word pos, window md5)
+    — the scrub list for viral/templated passages (exact-substring dedup
+    germ), complementary to whole-doc near-dup."""
+    from document_parser_spark.operators.curation import repeated_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_ngram_spans(d, window_k=10, min_docs=2)
+
+
+_SQL_REPEATED_SPANS = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i+9], ' ')) AS window_md5
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS g(i)
+),
+rep AS (
+  SELECT window_md5 FROM sh GROUP BY window_md5
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s.pos, s.window_md5
+FROM sh s JOIN rep r ON r.window_md5 = s.window_md5
+ORDER BY s.doc_id, s.pos, s.window_md5
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (en 50%, fr 100%, rest 25%)."""
     from document_parser_spark.operators.curation import stratified_sample
@@ -1863,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "gopher_gate": _q_gopher_gate,
         "decontaminate": _q_decontaminate,
+        "repeated_spans": _q_repeated_spans,
         "stratified_sample": _q_stratified_sample,
         "pack_shards": _q_pack_shards,
         "fingerprints": _q_fingerprints,
@@ -1916,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _SQL_SCRUB_PII,
         "gopher_gate": _SQL_GOPHER_GATE,
         "decontaminate": _SQL_DECONTAMINATE,
+        "repeated_spans": _SQL_REPEATED_SPANS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_shards": _SQL_PACK_SHARDS,
         "fingerprints": _SQL_FINGERPRINTS,

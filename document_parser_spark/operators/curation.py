@@ -253,3 +253,45 @@ def decontamination_overlap(
         .select("doc_id", "n_shingles", "n_overlap")
         .orderBy("doc_id")
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    window_k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-internal verbatim-passage detection (the exact-substring dedup
+    germ, Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", public paper): every ``window_k``-word window whose content
+    appears in ≥ ``min_docs`` DISTINCT documents is emitted with its 1-based
+    word position — the span list a curation pipeline scrubs (boilerplate
+    passages, licence blocks, templated text), complementary to whole-doc
+    near-dup (a doc can be unique overall yet carry a viral paragraph).
+
+    Scale shape: one shingle explode, one groupBy(window-md5) with a
+    distinct-doc count (map-side combined), one equi self-join back on the
+    hash — no pair join, no cross product; the repeated-hash set is a
+    DataFrame join side (NOT broadcast: at corpus scale the viral-passage
+    set can be huge).  md5 window hashing keeps the DuckDB oracle exact."""
+    from .text import word_shingles
+
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col(text_col), window_k)).alias("pos0", "window"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.md5(F.col("window")).alias("window_md5"),
+    )
+    rep = (
+        sh.groupBy("window_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("window_md5")
+    )
+    return (
+        sh.join(rep, "window_md5")
+        .select("doc_id", "pos", "window_md5")
+        .orderBy("doc_id", "pos", "window_md5")
+    )

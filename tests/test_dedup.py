@@ -347,3 +347,24 @@ def test_duplicate_clusters_empty_and_self_pair_edges(spark):
     one = spark.createDataFrame([(7, 7)], "doc_a long, doc_b long")
     got = [(r["doc_id"], r["cluster_id"]) for r in dedup.duplicate_clusters(one).collect()]
     assert got == [(7, 7)]
+
+
+def test_repeated_ngram_spans_semantics(spark):
+    """A 3-word window shared verbatim by two docs is flagged at the right
+    1-based positions in BOTH docs; unique windows are silent."""
+    from document_parser_spark.operators.curation import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "viral passage here plus unique tail one"),
+            (2, "prefix words then viral passage here ending"),
+            (3, "completely different text with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["pos"])
+        for r in repeated_ngram_spans(df, window_k=3, min_docs=2).collect()
+    ]
+    # 'viral passage here' is window 1 of doc 1 and window 4 of doc 2
+    assert rows == [(1, 1), (2, 4)]
