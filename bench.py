@@ -153,6 +153,7 @@ QUERY_NAMES = [
     "simhash_near_pairs",
     "extract_html_spans",
     "decontaminate",
+    "repeated_spans",
 ]
 
 
