@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,9 +67,19 @@ def lineage_metrics(parsed: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
 
 def write_partitioned(df: DataFrame, path: str, partition_col: str = "bucket") -> None:
     """Dynamic partition overwrite: only the partitions present in ``df`` are
-    replaced — idempotent under retry."""
+    replaced — idempotent under retry.
+
+    Repartition on the partition column FIRST: from the salted (bucket-
+    uncorrelated) task layout, every write task would otherwise hold one
+    open columnar writer per bucket value it encounters — up to num_buckets
+    writer buffers × num_cores tasks, the classic dynamic-partition-write
+    memory blowup (measured: the 1M-doc job's OOM at 16 GiB local[32] was
+    this write stage, not the parse).  Clustering by bucket gives each task
+    ONE open writer and, on a real cluster, one output file per partition
+    instead of cores× fragments."""
     (
-        df.write.mode("overwrite")
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
@@ -129,9 +140,13 @@ def run_extraction_checkpointed(
         )
         # segmented output carries (doc_id, spans, tables, error); the bucket
         # key is doc_id-derived and therefore recomputable exactly
-        parsed = with_bucket(parsed, num_buckets).persist()
+        parsed = with_bucket(parsed, num_buckets).persist(StorageLevel.MEMORY_AND_DISK)
     else:
-        parsed = parse_documents(repartitioned).persist()
+        parsed = parse_documents(repartitioned).persist(StorageLevel.MEMORY_AND_DISK)
+    # serialized MEMORY_AND_DISK, not the DataFrame default (deserialized):
+    # parsed rows are nested span/table arrays whose on-heap object form is
+    # several× their serialized size — at 10^6 docs the deserialized cache
+    # OOM'd a 16 GiB local[32] heap that the serialized form fits easily
 
     write_partitioned(parsed.select("doc_id", "bucket", "spans"), spans_dir)
 
