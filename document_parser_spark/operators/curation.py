@@ -260,6 +260,7 @@ def repeated_ngram_spans(
     text_col: str = "text",
     window_k: int = 10,
     min_docs: int = 2,
+    persist_windows: bool = False,
 ) -> DataFrame:
     """Corpus-internal verbatim-passage detection (the exact-substring dedup
     germ, Lee et al. "Deduplicating Training Data Makes Language Models
@@ -269,11 +270,18 @@ def repeated_ngram_spans(
     passages, licence blocks, templated text), complementary to whole-doc
     near-dup (a doc can be unique overall yet carry a viral paragraph).
 
-    Scale shape: one shingle explode, one groupBy(window-md5) with a
-    distinct-doc count (map-side combined), one equi self-join back on the
-    hash — no pair join, no cross product; the repeated-hash set is a
-    DataFrame join side (NOT broadcast: at corpus scale the viral-passage
-    set can be huge).  md5 window hashing keeps the DuckDB oracle exact."""
+    Scale shape: shingle explode → groupBy(window-md5) distinct-doc count
+    (map-side combined) → equi join back on the hash — no pair join, no
+    cross product.  The window frame feeds BOTH the count and the join
+    side, so without caching the explode subtree runs twice; measured at
+    sf0.1 the re-derivation is a wash warm (1.6 s both ways — same verdict
+    as the ngram `persist_words` A/B), so ``persist_windows`` is opt-in for
+    corpus-scale runs where re-reading the text twice is real money.  The
+    join side's physical strategy is left to AQE: broadcast when the
+    repeated-hash set is small, shuffle hash join when a viral corpus makes
+    it huge.  md5 window hashing keeps the DuckDB oracle exact."""
+    from pyspark import StorageLevel
+
     from .text import word_shingles
 
     sh = docs.select(
@@ -284,6 +292,8 @@ def repeated_ngram_spans(
         (F.col("pos0") + 1).cast("long").alias("pos"),
         F.md5(F.col("window")).alias("window_md5"),
     )
+    if persist_windows:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     rep = (
         sh.groupBy("window_md5")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -51,13 +51,16 @@ def test_stream_exact_dedup_first_wins(spark):
             .start()
         )
         q.processAllAvailable()
-        q.stop()
         rows = spark.sql(f"SELECT doc_id, text FROM {name}").collect()
         got = {r["doc_id"]: r["text"] for r in rows}
         # doc 3 (duplicate content of doc 1, inside the watermark) dropped
         assert set(got) == {1, 2, 4}
         assert got[1] == "alpha beta gamma"
     finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)
 
 
@@ -83,7 +86,6 @@ def test_stream_simhash_equals_batch(spark):
             .start()
         )
         q.processAllAvailable()
-        q.stop()
         streamed = {
             r["doc_id"]: r["simhash"]
             for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -93,4 +95,8 @@ def test_stream_simhash_equals_batch(spark):
         assert streamed == batch
         assert 3 not in streamed
     finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)

@@ -80,6 +80,9 @@ def test_windowed_monitor_with_watermark(spark):
             for r in spark.table(name).collect()
         }
         assert final.get(0) == (2, 5, 1)  # unchanged: late row was dropped
-        q.stop()
     finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)

@@ -40,7 +40,6 @@ def test_stream_extract_matches_batch_oracle(spark):
             .start()
         )
         q.processAllAvailable()
-        q.stop()
         rows = {
             r["doc_id"]: r.asDict(recursive=True)
             for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -51,6 +50,10 @@ def test_stream_extract_matches_batch_oracle(spark):
             oracle = kernel.parse_document(d["text"])["spans"]
             assert rows[d["doc_id"]]["spans"] == oracle, d["doc_id"]
     finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)
 
 

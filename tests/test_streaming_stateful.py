@@ -60,8 +60,11 @@ def test_stateful_sessionize_across_microbatches(spark):
         q.processAllAvailable()
         rows = {(r["user_id"], r["n_events"]) for r in spark.table(name).collect()}
         assert (1, 1) in rows  # the t(10_000) singleton, closed by timeout
-        q.stop()
     finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)
 
 
@@ -150,6 +153,11 @@ def test_stateful_super_gap_late_event_end_to_end(spark):
         assert len(closed) == 1
         assert closed[0]["n_events"] == 1
         assert closed[0]["session_start"] == closed[0]["session_end"] == t(0)
-        q.stop()
     finally:
+        # stop BEFORE rmtree: an assertion failure must not leave the query
+        # streaming from a deleted directory into the shared session
+        try:
+            q.stop()
+        except Exception:
+            pass
         shutil.rmtree(workdir, ignore_errors=True)
