@@ -154,6 +154,8 @@ QUERY_NAMES = [
     "extract_html_spans",
     "decontaminate",
     "repeated_spans",
+    "minhash_incremental",
+    "dedup_clusters",
 ]
 
 
