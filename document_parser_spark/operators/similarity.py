@@ -24,6 +24,16 @@ Paths:
   * ``cosine_near_dup_pairs``  — embedding near-dup for the dedup family:
     banded-LSH candidates + exact integer cosine threshold.  Never all-pairs.
 
+Composition seam (clustered corpora): ``ivf_topk``'s candidate frame
+(``probes.join(assign, "cid")``) and ``sketch_topk``'s hamming ranking
+compose directly into a sub-linear IVF→sketch→exact pipeline — probe
+nprobe/nlist of the corpus, hamming-rank ONLY the probed lists' sketch
+words, exact-rerank the top slice.  Deliberately not shipped as a query
+here: on THIS corpus's isotropic embeddings any partition pruning caps
+recall at ~0.5-0.6 (measured, BASELINE.md), so the hybrid can only lose to
+the flat sketch scan; on real clustered data it is the straightforward
+composition of the two tested pieces.
+
 Determinism: hyperplane signs are the parity of the first md5 nibble of
 "plane:pos" — reproducible in Python (sign matrix is computed driver-side
 with hashlib and inlined as a LITERAL column, zero per-row hashing) and in
