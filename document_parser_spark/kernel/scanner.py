@@ -68,11 +68,13 @@ def text_density(stripped: str) -> float:
 
 
 def is_table_row(stripped: str) -> bool:
-    """``|…|`` with at least one interior pipe — use_marker_converter.py:78."""
+    """``|…|`` with at least one interior pipe — use_marker_converter.py:78.
+    Ranged find instead of ``"|" in stripped[1:-1]``: this predicate runs
+    once per document line, and the slice allocated a copy per call."""
     return (
         stripped.startswith("|")
         and stripped.endswith("|")
-        and "|" in stripped[1:-1]
+        and stripped.find("|", 1, len(stripped) - 1) != -1
     )
 
 
