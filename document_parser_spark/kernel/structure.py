@@ -239,7 +239,7 @@ def extract_horizontal(raw: Dict[str, Any], table_index: int, source: str = "mar
         "num_columns": len(column_headers),
         "num_rows": len(data_rows),
         "header_row_count": hrc,
-        "headers": [ch["full_path"] for ch in column_headers],
+        "headers": list(col_paths),
         "column_headers": column_headers,
         "column_groups": groups,
         "header_cells": header_cells,
