@@ -143,7 +143,7 @@ QUERY_NAMES = [
     "minhash_pairs",
     "simhash_docs",
     "ngram_jaccard",
-    "token_stats",
+    "text_stats",
     "language_id",
     "repetition_stats",
     "scrub_pii",
@@ -303,7 +303,7 @@ def scaling_study(
 #: Pair-emitting dedup queries are deliberately excluded: on the synthetic
 #: corpus their OUTPUT grows superlinearly with doc count (near-dup density),
 #: so "same work per doc at both cluster sizes" would not hold.
-SCALING_QUERY_SUBSET = ["fingerprints", "simhash_docs", "token_stats", "repetition_stats"]
+SCALING_QUERY_SUBSET = ["fingerprints", "simhash_docs", "text_stats", "repetition_stats"]
 
 
 #: documents for the query scaling corpus — sf0.1's 5k docs can't feed 16
@@ -480,7 +480,11 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         for op, fn in (("ann_ivf", similarity.ivf_topk), ("ann_sketch", similarity.sketch_topk)):
             t0 = time.monotonic()
             res = fn(e, q, k=10)
-            res.write.format("noop").mode("overwrite").save()
+            # count() both times AND materializes the result: if a query's
+            # probed lists hold fewer than k candidates (small n, skewed
+            # quantizer), the real top-k is smaller than 5*k — record the
+            # actual output size, not an assumed constant (ADVICE r03)
+            n_out = res.count()
             wall = time.monotonic() - t0
             if op == "ann_ivf":
                 # MEASURED probed-list population (not the nprobe/nlist
@@ -509,7 +513,7 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
             else:
                 # sketch scores exactly the top rerank-frac by CONSTRUCTION
                 cand = max(10, (n * similarity.RERANK_FRAC_PCT + 99) // 100) * 5
-            record(op, n, wall, cand, 50)
+            record(op, n, wall, cand, n_out)
 
     lo, hi = (str(s) for s in sizes)
     # provenance of the candidate counts, so derived numbers can't read as

@@ -202,7 +202,26 @@ def minhash_incremental_pairs(
     Verify is shingle-exact but touches ONLY docs that appear in a candidate
     pair (semi-join before the shingle explode) — the corpus text is never
     re-read wholesale.  Output matches ``minhash_near_dup_pairs`` on the
-    same union, filtered to pairs with ≥1 new-side doc."""
+    same union, filtered to pairs with ≥1 new-side doc.
+
+    CONTRACT: ``new_docs`` and ``corpus_docs`` must have DISJOINT doc_ids
+    (ADVICE r03).  An overlapping id — e.g. a shard replayed into the corpus
+    side — double-counts that doc's shingles in the unioned texts frame and
+    silently corrupts the exact-Jaccard sizes.  jobs/dedup_job.py enforces
+    this structurally via the manifest (a completed shard re-run is a no-op
+    before any frame is built); direct callers own the precondition.  Set
+    ``SPARK_GRAFT_DEBUG_CHECKS=1`` to pay one semi-join for an explicit
+    error instead."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DEBUG_CHECKS"):
+        overlap = new_docs.select("doc_id").join(
+            corpus_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+        assert overlap.isEmpty(), (
+            "minhash_incremental_pairs: new_docs and corpus_docs share "
+            "doc_ids — Jaccard sizes would double-count shingles"
+        )
     sig_new = minhash_signatures(new_docs, text_col, num_hashes, rows_per_band, shingle_k)
     sig_old = minhash_signatures(
         corpus_docs, text_col, num_hashes, rows_per_band, shingle_k

@@ -77,6 +77,40 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_stats ∪ quality_scores in ONE map-only projection.
+
+    The two families share the word split and char count; computing all
+    eight signals in a single Project keeps one pass over the text (no join,
+    no shuffle) — the shape a 100 TB curation scan actually wants.  Kept as
+    the contract-query surface (`text_stats`); the narrower ``token_stats``/
+    ``quality_scores`` remain for callers that want one family."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS["en"])))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_exact"),
+        n_words.cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_ISH_TOKEN)).cast("long").alias("n_tokens_bpeish"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "sum_word_len"
+        ),
+        stop_hits.cast("long").alias("stopword_hits"),
+        n_punct.cast("long").alias("punct_chars"),
+        n_digits.cast("long").alias("digit_chars"),
+        (
+            (n_words >= 5)
+            & (n_chars >= 20)
+            & (n_punct * 2 < F.greatest(n_chars, F.lit(1)))
+        ).alias("quality_ok"),
+    )
+
+
 def language_best_struct(text_col: Column) -> Column:
     """ONE pass over the word array: a struct accumulator counts stopword
     hits for every language simultaneously; the aggregate's ``finish`` lambda

@@ -23,6 +23,16 @@ signature table — across shard ingests.  Per shard it:
 
 Prints ONE JSON line: shard size, verified pair count, and whether the
 shard was a resume no-op.
+
+**Sequential-ingest contract (ADVICE r03):** shard ingests into one state
+directory must run ONE AT A TIME.  The manifest is an append-only parquet
+with no writer lock: two concurrent ingests would each read ``done`` before
+the other commits, so each verifies only against the already-completed
+corpus and the cross-pair between the two in-flight shards is permanently
+missed (and concurrent appends to the same manifest path can race).  Run
+shards sequentially, or serialize through an external scheduler; a violated
+contract is detected after the fact by ``manifest`` rows whose count
+differs from the number of distinct shard_ids.
 """
 
 from __future__ import annotations
@@ -48,9 +58,18 @@ def _read_state(spark, path):
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description=__doc__)
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        epilog="CONTRACT: run shard ingests into one --state directory "
+        "sequentially (no writer lock on the manifest; concurrent ingests "
+        "silently miss cross-shard pairs).",
+    )
     parser.add_argument("--shard", required=True, help="parquet with (doc_id, text)")
-    parser.add_argument("--state", required=True, help="dedup state directory")
+    parser.add_argument(
+        "--state",
+        required=True,
+        help="dedup state directory (single sequential writer at a time)",
+    )
     parser.add_argument("--shard-id", required=True)
     parser.add_argument("--shingle-k", type=int, default=5)
     parser.add_argument("--threshold-pct", type=int, default=50)

@@ -121,3 +121,65 @@ def test_kmeans_centroids_deterministic_and_refine(spark, emb):
     c2, m2 = similarity.ivf_centroids_kmeans(emb, nlist=8, iters=2)
     assert np.array_equal(c1, c2) and np.array_equal(m1, m2)
     assert m1.shape[0] == 8 and list(c1) == sorted(c1)
+
+
+def _clustered_corpus(spark, n=1000, dim=32, n_clusters=10, noise=0.15, seed=7):
+    """Deterministic synthetic CLUSTERED embeddings (the sf corpus is
+    isotropic by construction, so partition-probing paths need their own
+    fixture): unit-norm cluster centers, points = normalize(center + noise)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % n_clusters] + noise * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_sketch_composition_on_clustered_corpus(spark):
+    """VERDICT r03 item 8: on a corpus that actually clusters, the
+    IVF→sketch→exact composition holds recall ≥0.9 while exactly scoring a
+    fraction BELOW either parent's budget (IVF exact-scores every probed
+    member ≈ nprobe/nlist; flat sketch exact-scores RERANK_FRAC_PCT of the
+    whole corpus and hamming-scans 100% of it)."""
+    emb = _clustered_corpus(spark).cache()
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {}
+    for r in similarity.brute_force_topk_exact(emb, q, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hybrid = similarity.ivf_sketch_topk(emb, q, k=10).collect()
+    got = {}
+    for r in hybrid:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    # cost dials (deterministic by construction, mirrored from the operator)
+    nlist = similarity.ivf_nlist(n)
+    nprobe = similarity.ivf_nprobe(nlist)
+    expected_probed = (n * nprobe) // nlist
+    m = max(40, (expected_probed * similarity.RERANK_FRAC_PCT + 99) // 100)
+    scored_frac = m / n
+    ivf_scored_frac = expected_probed / n          # parent 1 exact budget
+    sketch_scored_frac = similarity.RERANK_FRAC_PCT / 100  # parent 2
+    assert recall >= 0.9, f"hybrid recall {recall:.3f} on clustered corpus"
+    assert scored_frac <= 0.05, scored_frac
+    assert scored_frac < ivf_scored_frac
+    assert scored_frac < sketch_scored_frac
+    # sketch-scan volume: hybrid hamming-ranks only the probed fraction
+    assert nprobe / nlist < 1.0
+
+
+def test_ann_topk_facade_routes_and_validates(spark, emb):
+    """ann_topk default == sketch_topk output; unknown methods fail loudly."""
+    q = emb.filter(F.col("vec_id") < 3)
+    via_facade = {(r["query_id"], r["vec_id"], r["rank"])
+                  for r in similarity.ann_topk(emb, q, k=5).collect()}
+    direct = {(r["query_id"], r["vec_id"], r["rank"])
+              for r in similarity.sketch_topk(emb, q, k=5).collect()}
+    assert via_facade == direct
+    with pytest.raises(ValueError, match="unknown ANN method"):
+        similarity.ann_topk(emb, q, method="hnsw")
