@@ -159,17 +159,41 @@ QUERY_NAMES = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str, repeats: int = 3) -> tuple:
+    """Times every bench query ``repeats`` times and reports the MEDIAN as
+    the headline (plus best + raw runs): single runs on this co-tenant box
+    swing 2-3× per query, which kept polluting round-over-round comparison
+    (VERDICT r03 item 6).  The shared corpus-parse cache is warmed ONCE
+    up front as its own row — previously whichever query ran first silently
+    paid the ~5 s parse, coupling its number to registry order."""
+    import statistics
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
     times = {}
+    stats = {}
+
+    t0 = time.monotonic()
+    entry._cells(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm = round(time.monotonic() - t0, 3)
+    times["corpus_parse_warm"] = warm
+    stats["corpus_parse_warm"] = {"median": warm, "best": warm, "runs": [warm]}
+
+    def timed(fn) -> None:
+        runs = []
+        for _ in range(max(repeats, 1)):
+            t0 = time.monotonic()
+            df = fn()
+            # Force full execution without driver materialization of wide rows.
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        return runs
+
     for name in QUERY_NAMES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        # Force full execution without driver materialization of wide rows.
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        runs = timed(lambda: qs[name](spark, sf_dir))
+        times[name] = round(statistics.median(runs), 3)
+        stats[name] = {"median": times[name], "best": min(runs), "runs": runs}
     # similarity on the fast native path (the exact variant is the oracle twin)
     from document_parser_spark.operators import similarity
     from document_parser_spark.operators.similarity import (
@@ -189,9 +213,9 @@ def run_queries(spark, sf_dir: str) -> dict:
         ("ann_ivf", ivf_topk),
         ("ann_sketch", sketch_topk),
     ]:
-        t0 = time.monotonic()
-        fn(emb, q, k=10).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        runs = timed(lambda: fn(emb, q, k=10))
+        times[name] = round(statistics.median(runs), 3)
+        stats[name] = {"median": times[name], "best": min(runs), "runs": runs}
     # ANN quality: recall@10 of each approximate path vs the exact brute
     # force, with the probed/scored corpus fraction each one pays — the
     # recall-per-fraction trade IS the ANN scale story (VERDICT r02 item 2/3).
@@ -208,10 +232,16 @@ def run_queries(spark, sf_dir: str) -> dict:
     nlist = similarity.ivf_nlist(n)
     extras["ann_ivf_probed_fraction"] = round(similarity.ivf_nprobe(nlist) / nlist, 3)
     extras["ann_sketch_scored_fraction"] = similarity.RERANK_FRAC_PCT / 100
-    return times, extras
+    return times, extras, stats
 
 
-def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | None = None) -> dict:
+def bench_once(
+    cpus: int,
+    sf_dir: str,
+    extract_only: bool = False,
+    docs: int | None = None,
+    repeats: int = 3,
+) -> dict:
     from document_parser_spark.sources.session import get_spark
 
     spark = get_spark(app_name=f"bench[{cpus}]", cpus=cpus)
@@ -221,7 +251,9 @@ def bench_once(cpus: int, sf_dir: str, extract_only: bool = False, docs: int | N
     result["extract"] = ext
     if not extract_only:
         result["html_extract"] = run_html_extraction(spark, max(500, (docs or extraction_docs(sf)) // 4))
-        result["queries"], result["query_extras"] = run_queries(spark, sf_dir)
+        result["queries"], result["query_extras"], result["query_stats"] = run_queries(
+            spark, sf_dir, repeats=repeats
+        )
     spark.stop()
     return result
 
@@ -545,6 +577,12 @@ def main() -> None:
     ap.add_argument("--query-subset-internal", action="store_true")
     ap.add_argument("--internal-json", action="store_true")
     ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=3,
+        help="per-query timing repetitions; headline = median (noise protocol)",
+    )
     args = ap.parse_args()
 
     if args.query_subset_internal:
@@ -557,18 +595,27 @@ def main() -> None:
         print(json.dumps({"growth": growth_study()}))
         return
 
-    result = bench_once(args.cpus, args.sf_dir, extract_only=args.extract_only, docs=args.docs)
+    result = bench_once(
+        args.cpus,
+        args.sf_dir,
+        extract_only=args.extract_only,
+        docs=args.docs,
+        repeats=args.repeats,
+    )
     if args.internal_json:
         print(json.dumps(result))
         return
 
     queries = dict(result.get("queries", {}))
     queries["extract_pipeline"] = round(result["extract"]["wall_sec"], 3)
+    stats = result.get("query_stats", {})
     payload = {
         "metric": "total_bench_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_best": {n: s["best"] for n, s in stats.items()},
+        "bench_repeats": args.repeats,
         "sf": result["sf"],
         "cpus": result["cpus"],
         "extract_docs_per_sec": round(result["extract"]["docs_per_sec"], 1),
