@@ -232,6 +232,10 @@ def run_queries(spark, sf_dir: str, repeats: int = 3) -> tuple:
     nlist = similarity.ivf_nlist(n)
     extras["ann_ivf_probed_fraction"] = round(similarity.ivf_nprobe(nlist) / nlist, 3)
     extras["ann_sketch_scored_fraction"] = similarity.RERANK_FRAC_PCT / 100
+    # the shipped default: ann_topk() routes to sketch rerank (the measured
+    # winner on this corpus); IVF/LSH numbers above are the opt-in
+    # clustered-corpus paths, not the scale story
+    extras["ann_primary"] = "ann_sketch (ann_topk default; recall/fraction above)"
     return times, extras, stats
 
 
@@ -382,6 +386,74 @@ def _scaled_documents_dir(spark, n_docs: int) -> str:
     return path
 
 
+def _zipf_documents_dir(
+    spark, n_docs: int, vocab: int = 20_000, zipf_s: float = 1.1, dup_every: int = 97
+) -> str:
+    """Adversarial-vocabulary growth corpus (VERDICT r03 item 4): the
+    default synthetic docs draw from a ~20-word vocabulary, which makes true
+    near-dup pairs quadratically dense — a growth study over them cannot
+    distinguish output-bound from candidate-bound growth.  This tier draws
+    80-200 words per doc from a 20k-word Zipfian vocabulary (realistic
+    head-heavy text), so random docs share only stopword-like heads
+    (word-Jaccard ~0.1) and the ONLY near-dups are the planted ones: every
+    ``dup_every``-th doc is a 3-token mutation of its predecessor → true
+    pairs ≈ n/97, LINEAR in n.  Candidate growth can then be read directly
+    against true-pair growth."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    path = os.path.join(REPO, ".bench_data", f"zscale_{n_docs}")
+    marker = os.path.join(path, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
+        ranks = np.arange(1, vocab + 1, dtype=np.float64)
+        probs = 1.0 / ranks**zipf_s
+        cum = np.cumsum(probs / probs.sum())
+
+        def zipf_draw(rng, size: int) -> np.ndarray:
+            # inverse-CDF sampling: O(size·log vocab), vs rng.choice(p=...)
+            # which is O(vocab) PER CALL (4×10^8 ops over a 20k-doc corpus)
+            return np.searchsorted(cum, rng.random_sample(size))
+
+        def words_of(i: int) -> list:
+            rng = np.random.RandomState(1_000_003 + i)
+            n_words = 80 + (i * 37) % 121
+            words = [f"w{w}" for w in zipf_draw(rng, n_words)]
+            if i % dup_every == 0 and i > 0:
+                # planted near-dup: predecessor's text with 3 tokens swapped
+                words = list(words_of(i - 1))
+                pos = rng.choice(len(words), size=3, replace=False)
+                for p, r in zip(pos, zipf_draw(rng, 3)):
+                    words[p] = f"w{r}"
+            return words
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # lang/source CONSTANT: ngram_jaccard blocks on (lang, source),
+            # and a planted pair (i-1, i) must not be split across blocks
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    text = " ".join(words_of(i))
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "text": text,
+                            "lang": "en",
+                            "source": "web",
+                            "n_chars": len(text),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        df = base.mapInPandas(
+            gen, schema="doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
 def _query_subset_once(cpus: int, sf_dir: str, n_docs: int) -> float:
     """Steady-state wall time of the scaling query subset on one session.
 
@@ -503,8 +575,40 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         record("simhash", n, time.monotonic() - t0, cand, pairs)
 
         t0 = time.monotonic()
+        cand = dedup.ngram_candidate_pairs(d, threshold_pct=50).count()
         pairs = dedup.ngram_jaccard_pairs(d, threshold_pct=50).count()
-        record("ngram_jaccard", n, time.monotonic() - t0, -1, pairs)
+        record("ngram_jaccard", n, time.monotonic() - t0, cand, pairs)
+
+        # --- sparse-vocab (Zipfian) tier: true pairs are PLANTED and linear
+        # in n (≈ n/97), so candidate growth reads directly against
+        # true-pair growth — the degenerate-vocab rows above cannot separate
+        # output-bound from candidate-bound growth (VERDICT r03 item 4)
+        zdir = _zipf_documents_dir(spark, n)
+        z = load_table(spark, zdir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+
+        t0 = time.monotonic()
+        cand = dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(z, shingle_k=5)
+        ).count()
+        pairs = dedup.minhash_near_dup_pairs(z, shingle_k=5, threshold_pct=50).count()
+        record("minhash_zipf", n, time.monotonic() - t0, cand, pairs)
+
+        t0 = time.monotonic()
+        zsim = dedup.simhash_arrow(z)
+        cand = dedup.simhash_candidate_pairs(zsim, max_hamming=3).count()
+        pairs = dedup.simhash_near_pairs(zsim, max_hamming=3).count()
+        record("simhash_zipf", n, time.monotonic() - t0, cand, pairs)
+
+        # ngram_n=3: the corpus-scale dial on natural vocabulary — single
+        # words are candidate-bound there (mid-df words contribute C(df,2)
+        # prefix pairs each; measured 37× wall at 10× docs), n-gram tokens
+        # are near-unique so candidates track the planted true pairs
+        t0 = time.monotonic()
+        cand = dedup.ngram_candidate_pairs(z, threshold_pct=50, ngram_n=3).count()
+        pairs = dedup.ngram_jaccard_pairs(z, threshold_pct=50, ngram_n=3).count()
+        record("ngram_jaccard_zipf", n, time.monotonic() - t0, cand, pairs)
 
         edir = _scaled_embeddings_dir(spark, n)
         e = load_table(spark, edir, "embeddings")
@@ -554,7 +658,9 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
     # filter never materializes a candidate set (-1)
     basis = {
         "minhash": "measured", "simhash": "measured", "ann_ivf": "measured",
-        "ann_sketch": "by-construction", "ngram_jaccard": "n/a",
+        "ann_sketch": "by-construction", "ngram_jaccard": "measured",
+        "minhash_zipf": "measured", "simhash_zipf": "measured",
+        "ngram_jaccard_zipf": "measured",
     }
     for op, rows in out["ops"].items():
         rows["candidate_basis"] = basis.get(op, "measured")

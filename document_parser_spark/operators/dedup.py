@@ -584,39 +584,23 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_frames(
     df: DataFrame,
-    text_col: str = "text",
-    block_cols: tuple = ("lang", "source"),
-    threshold_pct: int = 80,
-    persist_words: bool = False,
-) -> DataFrame:
-    """Blocked n-gram (distinct-word) Jaccard with PREFIX FILTERING: results
-    are EXACTLY the pairs with ``100·|A∩B| ≥ t·|A∪B|`` (integer arithmetic,
-    same semantics as the exhaustive word self-join), but candidate
-    generation joins only each document's prefix tokens.
-
-    Prefix filter (SSJoin/ppjoin, public literature): order each doc's words
-    by (document frequency asc, word asc) within its block; the prefix is the
-    first ``n - ceil(t·n/100) + 1`` words.  If J(A,B) ≥ t then
-    |A∩B| ≥ ceil(t·max(|A|,|B|)), which forces the prefixes to intersect —
-    so joining prefixes loses nothing.  Hot words ("the") sort LAST by df and
-    almost never enter a prefix, which removes the O(block²) hot-word blow-up
-    the exhaustive join has at corpus scale; the exact-Jaccard verify then
-    touches candidate pairs only.
-
-    The distinct (doc, word) frame feeds FOUR consumers (sizes, dfreq, both
-    verify sides).  ``persist_words`` caches it for the query's lifetime —
-    MEASURED tradeoff (sf0.1, local[32], steady-state): persisting costs
-    7.5-8.4 s vs 4.5-5.1 s re-deriving, because the exploded frame is LARGER
-    than the source parquet and its materialization is a barrier, while the
-    re-derivations run as parallel cheap scans.  So the default is False at
-    job scale; at corpus scale (where re-reading 100 TB ×4 dominates) set it
-    True — or better, write the tokenized frame once per curation run and
-    feed it to every dedup operator."""
-    dw = df.select(
-        "doc_id", *block_cols, F.explode(words(F.col(text_col))).alias("w")
-    ).distinct()
+    text_col: str,
+    block_cols: tuple,
+    threshold_pct: int,
+    persist_words: bool,
+    ngram_n: int,
+):
+    """Shared candidate machinery for the ngram-Jaccard family: returns
+    (dw, sizes, cand) where dw is the distinct (doc, token) frame and cand
+    the prefix-filtered candidate pairs.  See ngram_jaccard_pairs."""
+    tok = (
+        words(F.col(text_col))
+        if ngram_n <= 1
+        else F.array_distinct(word_shingles(F.col(text_col), ngram_n))
+    )
+    dw = df.select("doc_id", *block_cols, F.explode(tok).alias("w")).distinct()
     if persist_words:
         from pyspark import StorageLevel
 
@@ -637,15 +621,105 @@ def ngram_jaccard_pairs(
         - F.expr(f"CAST(({threshold_pct} * n_words + 99) DIV 100 AS BIGINT)")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("_r") <= prefix_len).select("doc_id", *block_cols, "w")
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select(
+        "doc_id", *block_cols, "w", "_r", "n_words"
+    )
 
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), *block_cols, "w")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), *block_cols, "w")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), *block_cols, "w",
+        F.col("_r").alias("_ra"), F.col("n_words").alias("_na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), *block_cols, "w",
+        F.col("_r").alias("_rb"), F.col("n_words").alias("_nb"),
+    )
+    # ppjoin refinements (both upper-bound checks — no qualifying pair can
+    # fail them, so the verified output is unchanged):
+    #   length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+    #     (J = I/U ≤ min/max);
+    #   positional filter: for the FIRST shared token (global df order) at
+    #     per-doc positions ra/rb, every other common token sorts after it in
+    #     BOTH docs, so I ≤ 1 + min(na−ra, nb−rb); J ≥ t needs
+    #     I ≥ t/(1+t)·(na+nb).  Any-match-passes ≡ first-match bound (earlier
+    #     positions give the loosest bound).  On a realistic Zipf vocabulary
+    #     these two prune the mid-frequency-word pair blow-up that pure
+    #     prefix intersection admits (measured: the 20k-doc zipf corpus fell
+    #     696 s → see BASELINE.md r04 growth rows).
+    t = threshold_pct
     cand = (
         pa.join(pb, on=[*block_cols, "w"], how="inner")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.lit(100) * F.col("_na") >= F.lit(t) * F.col("_nb"))
+            & (F.lit(100) * F.col("_nb") >= F.lit(t) * F.col("_na"))
+        )
+        .filter(
+            (F.lit(1) + F.least(F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")))
+            * F.lit(100 + t)
+            >= F.lit(t) * (F.col("_na") + F.col("_nb"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    return dw, sizes, cand
+
+
+def ngram_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple = ("lang", "source"),
+    threshold_pct: int = 80,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """The (doc_a, doc_b) candidate frame ngram_jaccard_pairs verifies —
+    exposed so growth studies can measure candidate volume from the
+    executed join instead of inferring it."""
+    _, _, cand = _ngram_frames(df, text_col, block_cols, threshold_pct, False, ngram_n)
+    return cand
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple = ("lang", "source"),
+    threshold_pct: int = 80,
+    persist_words: bool = False,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Blocked n-gram Jaccard with PREFIX + LENGTH + POSITIONAL filtering:
+    results are EXACTLY the pairs with ``100·|A∩B| ≥ t·|A∪B|`` (integer
+    arithmetic, same semantics as the exhaustive token self-join), but
+    candidate generation joins only each document's prefix tokens and prunes
+    by the ppjoin length/positional bounds (upper-bound checks — they cannot
+    drop a qualifying pair).
+
+    ``ngram_n`` picks the token: 1 = distinct words (the contract-query
+    dialect), n>1 = distinct word n-grams.  At corpus scale over natural
+    (Zipf-headed) vocabulary use n ≥ 3: single words are candidate-bound —
+    every mid-frequency word (df ~100s) lands in prefixes and contributes
+    C(df,2) pairs, measured 37× wall at 10× docs on the 20k-vocab corpus —
+    while n-gram tokens are near-unique so candidates track true pairs.
+
+    Prefix filter (SSJoin/ppjoin, public literature): order each doc's words
+    by (document frequency asc, word asc) within its block; the prefix is the
+    first ``n - ceil(t·n/100) + 1`` words.  If J(A,B) ≥ t then
+    |A∩B| ≥ ceil(t·max(|A|,|B|)), which forces the prefixes to intersect —
+    so joining prefixes loses nothing.  Hot words ("the") sort LAST by df and
+    almost never enter a prefix, which removes the O(block²) hot-word blow-up
+    the exhaustive join has at corpus scale; the exact-Jaccard verify then
+    touches candidate pairs only.
+
+    The distinct (doc, word) frame feeds FOUR consumers (sizes, dfreq, both
+    verify sides).  ``persist_words`` caches it for the query's lifetime —
+    MEASURED tradeoff (sf0.1, local[32], steady-state): persisting costs
+    7.5-8.4 s vs 4.5-5.1 s re-deriving, because the exploded frame is LARGER
+    than the source parquet and its materialization is a barrier, while the
+    re-derivations run as parallel cheap scans.  So the default is False at
+    job scale; at corpus scale (where re-reading 100 TB ×4 dominates) set it
+    True — or better, write the tokenized frame once per curation run and
+    feed it to every dedup operator."""
+    dw, sizes, cand = _ngram_frames(
+        df, text_col, block_cols, threshold_pct, persist_words, ngram_n
     )
 
     # Exact verify over candidates only (block equality already implied).
