@@ -1562,12 +1562,15 @@ _ORACLE_EMB_N = 500
 
 
 def _assert_oracle_corpus_size(e) -> None:
+    # ValueError, not assert: the guard must survive python -O (stripped
+    # asserts would silently reintroduce the hash-mismatch this prevents)
     n = e.count()
-    assert n == _ORACLE_EMB_N, (
-        f"ANN oracle SQL dials are derived from n={_ORACLE_EMB_N} embeddings "
-        f"(sf0.01); this corpus has {n} — regenerate _SKETCH_M/_SQL_IVF_TOPK "
-        "or run at sf0.01"
-    )
+    if n != _ORACLE_EMB_N:
+        raise ValueError(
+            f"ANN oracle SQL dials are derived from n={_ORACLE_EMB_N} "
+            f"embeddings (sf0.01); this corpus has {n} — regenerate "
+            "_SKETCH_M/_SQL_IVF_TOPK or run at sf0.01"
+        )
 
 
 _SKETCH_M = max(10, (_ORACLE_EMB_N * similarity.RERANK_FRAC_PCT + 99) // 100)

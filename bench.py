@@ -180,7 +180,7 @@ def run_queries(spark, sf_dir: str, repeats: int = 3) -> tuple:
     times["corpus_parse_warm"] = warm
     stats["corpus_parse_warm"] = {"median": warm, "best": warm, "runs": [warm]}
 
-    def timed(fn) -> None:
+    def timed(fn) -> list:
         runs = []
         for _ in range(max(repeats, 1)):
             t0 = time.monotonic()
@@ -419,6 +419,9 @@ def _zipf_documents_dir(
         def words_of(i: int) -> list:
             rng = np.random.RandomState(1_000_003 + i)
             n_words = 80 + (i * 37) % 121
+            # the bulk draw runs even for planted-dup docs (which discard
+            # it): it advances the RNG to the state the mutation draws
+            # assume — reordering would change the frozen cached corpus
             words = [f"w{w}" for w in zipf_draw(rng, n_words)]
             if i % dup_every == 0 and i > 0:
                 # planted near-dup: predecessor's text with 3 tokens swapped
@@ -574,8 +577,11 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         pairs = dedup.simhash_near_pairs(sim, max_hamming=3).count()
         record("simhash", n, time.monotonic() - t0, cand, pairs)
 
-        t0 = time.monotonic()
+        # cand counted OUTSIDE the timed window: the verify pipeline
+        # re-executes candidate generation internally, so timing both would
+        # double-count it and break comparability with earlier rounds
         cand = dedup.ngram_candidate_pairs(d, threshold_pct=50).count()
+        t0 = time.monotonic()
         pairs = dedup.ngram_jaccard_pairs(d, threshold_pct=50).count()
         record("ngram_jaccard", n, time.monotonic() - t0, cand, pairs)
 
@@ -605,8 +611,8 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         # words are candidate-bound there (mid-df words contribute C(df,2)
         # prefix pairs each; measured 37× wall at 10× docs), n-gram tokens
         # are near-unique so candidates track the planted true pairs
-        t0 = time.monotonic()
         cand = dedup.ngram_candidate_pairs(z, threshold_pct=50, ngram_n=3).count()
+        t0 = time.monotonic()
         pairs = dedup.ngram_jaccard_pairs(z, threshold_pct=50, ngram_n=3).count()
         record("ngram_jaccard_zipf", n, time.monotonic() - t0, cand, pairs)
 
@@ -653,9 +659,9 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
 
     lo, hi = (str(s) for s in sizes)
     # provenance of the candidate counts, so derived numbers can't read as
-    # measurements: minhash/simhash/ivf are counted from executed joins,
-    # sketch is exact-by-construction (top rerank-frac), ngram's prefix
-    # filter never materializes a candidate set (-1)
+    # measurements: minhash/simhash/ivf/ngram are counted from executed
+    # joins (ngram via ngram_candidate_pairs, counted outside the timed
+    # window), sketch is exact-by-construction (top rerank-frac)
     basis = {
         "minhash": "measured", "simhash": "measured", "ann_ivf": "measured",
         "ann_sketch": "by-construction", "ngram_jaccard": "measured",

@@ -94,21 +94,27 @@ class _DomScanner(HTMLParser):
         return len(self.spans)
 
     def _flush_text(self, heading: Optional[str] = None) -> None:
-        # hot path: flush fires on EVERY block boundary, and most are empty
-        # (whitespace between tags never reaches _chunks) — skip the
-        # join/regex/normalize pipeline outright when nothing accumulated
+        # hot path: flush fires on EVERY block boundary, and most flushes
+        # carry nothing or only inter-tag whitespace (handle_data appends
+        # raw data chunks, including '\n' between tags) — skip the
+        # regex/normalize pipeline for both. A whitespace-only chunk
+        # normalizes to "" (sub→" ", strip→""), so returning early after
+        # the same state resets is output-identical.
         if not self._chunks:
             self._link_chars = 0
             self._chunk_boiler = False
             return
         joined = "".join(self._chunks)
-        text = normalize_scripts(_WS_RX.sub(" ", joined).strip())
-        chunk_chars = len(joined.strip())
+        stripped = joined.strip()
         link_chars = self._link_chars
         depth = self._chunk_depth
         boiler = self._chunk_boiler
         self._chunks, self._link_chars = [], 0
         self._chunk_boiler = False
+        if not stripped:
+            return
+        text = normalize_scripts(_WS_RX.sub(" ", joined).strip())
+        chunk_chars = len(stripped)
         if not text:
             return
         if heading is not None:

@@ -573,7 +573,16 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH
     """Near-dup pairs by SimHash Hamming distance ≤ k over the chunk-bucket
     candidates.  At 60 bits the chunk key space is 2^30 (k=1) / 2^15 (k=3)
     buckets, so the expected bucket population — and hence candidate volume —
-    stays ~n/2^15 per chunk instead of round 2's n/32."""
+    stays ~n/2^15 per chunk instead of round 2's n/32.
+
+    Semantics caveat (measured, Zipf growth tier r04): word-weighted SimHash
+    measures DISTRIBUTION similarity, so short documents over a head-heavy
+    natural vocabulary all look alike — hamming ≤ 3 matched ~7.4M of a 20k
+    Zipf corpus's pairs (the fingerprint is dominated by the shared Zipf
+    head).  Candidates still track the operator's own output (ratio ~7.6 at
+    both 2k and 20k — output-bound, not candidate-bound), but for CONTENT
+    dedup of short natural text use minhash or ngram_jaccard(ngram_n≥3);
+    simhash's niche is long documents / template detection."""
     cand = simhash_candidate_pairs(sim, max_hamming, bits)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
