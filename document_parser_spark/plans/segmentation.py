@@ -124,12 +124,29 @@ def parse_documents_segmented(
         F.col("s.seg_text").alias("seg_text"),
         F.col("s.repeated").alias("repeated"),
     )
+    if segment_partitions is None:
+        # ALWAYS redistribute by default: the exploded segments otherwise
+        # stay in the partition that held their parent doc, so a 100 MB doc's
+        # ~200 segments parse SERIALLY in one task — measured max/median
+        # task ratio 89 on a 20 MB giant before this default (r04); the
+        # whole point of segmentation is that they fan out.  Pass 0 to skip.
+        segment_partitions = big.sparkSession.sparkContext.defaultParallelism * 2
     if segment_partitions:
         segs = segs.repartition(segment_partitions, "doc_id", "seg")
 
     parsed = segs.withColumn(
         "p", _parse_segment_udf("seg_text", "line_offset", "repeated")
     ).select("doc_id", "seg", "p.spans", "p.tables", "p.error")
+    # persist: BOTH reassembly branches (spans collect_list, tables
+    # explode+window) consume `parsed`, and the final join makes a third
+    # pass — without this the segment parse re-executes per consumer
+    # (measured: 21.7 s → 9.5 s full pipeline on a 20 MB doc).  Serialized
+    # level per the resume-path precedent (nested span rows are several×
+    # larger deserialized).  Not unpersisted here: the consumer is lazy and
+    # the frame is bounded (segments of oversize docs only).
+    from pyspark import StorageLevel
+
+    parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     spans_df = parsed.groupBy("doc_id").agg(
         F.flatten(
