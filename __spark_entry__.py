@@ -490,36 +490,53 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def _q_distinct_ratio(spark, sf_dir):
+def _q_agg_shapes(spark, sf_dir):
+    """Distinct-count + per-group shape aggregation in one tagged result
+    (round-4 registry fold of distinct_ratio + shape_agg for the 50-row
+    driver CORRECTNESS window, same pattern as set_ops/window_ops/text_stats).
+    Branch 'mktseg': distinct nation keys per market segment; branch
+    'order': max line number + line count per order.  Both partial-agg
+    (map-side combined) group-bys attested by the one hash."""
     c = load_table(spark, sf_dir, "customer")
-    return (
+    seg = (
         c.groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("c_nationkey").alias("n_distinct"),
-            F.count("*").alias("n_total"),
+            F.countDistinct("c_nationkey").alias("a"),
+            F.count("*").alias("b"),
         )
-        .orderBy("c_mktsegment")
+        .select(
+            F.lit("mktseg").alias("kind"),
+            F.col("c_mktsegment").alias("key"),
+            "a",
+            "b",
+        )
     )
-
-
-_SQL_DISTINCT_RATIO = """
-SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_distinct, count(*) AS n_total
-FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
-"""
-
-
-def _q_shape_agg(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    shp = (
         li.groupBy("l_orderkey")
-        .agg(F.max("l_linenumber").alias("max_line"), F.count("*").alias("n_lines"))
-        .orderBy("l_orderkey")
+        .agg(
+            F.max("l_linenumber").cast("long").alias("a"),
+            F.count("*").alias("b"),
+        )
+        .select(
+            F.lit("order").alias("kind"),
+            F.col("l_orderkey").cast("string").alias("key"),
+            "a",
+            "b",
+        )
     )
+    return seg.unionByName(shp).orderBy("kind", "key")
 
 
-_SQL_SHAPE_AGG = """
-SELECT l_orderkey, max(l_linenumber) AS max_line, count(*) AS n_lines
-FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+_SQL_AGG_SHAPES = """
+SELECT 'mktseg' AS kind, c_mktsegment AS key,
+       count(DISTINCT c_nationkey) AS a, count(*) AS b
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'order' AS kind, CAST(l_orderkey AS VARCHAR) AS key,
+       CAST(max(l_linenumber) AS BIGINT) AS a, count(*) AS b
+FROM lineitem GROUP BY l_orderkey
+ORDER BY kind, key
 """
 
 
@@ -590,25 +607,60 @@ ORDER BY o_orderkey
 """
 
 
-def _q_dim_rollup(spark, sf_dir):
-    """Broadcast dim join chain: customer → nation → region counts."""
+def _q_rollup_ops(spark, sf_dir):
+    """Broadcast dim-join rollup + ROLLUP grouping sets in one tagged result
+    (round-4 registry fold of dim_rollup + rollup_agg for the 50-row driver
+    CORRECTNESS window).  Branch 'region': customer → nation → region
+    broadcast join chain counted per region; branch 'lineitem': ROLLUP over
+    (returnflag, linestatus) with decimal-exact quantity sums.  The dim
+    branch keeps its explicit broadcast() hints (plan gate
+    tests/test_plans.py asserts the exchange-free dim chain)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
+    dim = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count("*").alias("n_customers"))
-        .orderBy("r_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("region").alias("kind"),
+            F.col("r_name").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            "n",
+        )
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    rol = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.lit("lineitem").alias("kind"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            "sum_qty",
+            "n",
+        )
+    )
+    return dim.unionByName(rol).orderBy("kind", "key1", "key2")
 
 
-_SQL_DIM_ROLLUP = """
-SELECT r.r_name, count(*) AS n_customers
+_SQL_ROLLUP_OPS = """
+SELECT 'region' AS kind, r.r_name AS key1, CAST(NULL AS VARCHAR) AS key2,
+       CAST(NULL AS DOUBLE) AS sum_qty, count(*) AS n
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name ORDER BY r.r_name
+GROUP BY r.r_name
+UNION ALL
+SELECT 'lineitem' AS kind, l_returnflag AS key1, l_linestatus AS key2,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY kind, key1, key2
 """
 
 
@@ -883,6 +935,86 @@ reach(node, lab) AS (
 )
 SELECT node AS doc_id, min(lab) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _q_cluster_canonical(spark, sf_dir):
+    """The keep/drop decision per near-dup cluster: canonical = largest
+    n_chars, ties to smallest doc_id ("keep the longest" policy of public
+    dedup pipelines), plus membership accounting — the row a 100 TB dedup
+    job actually writes.  Composes minhash pairs → star-contraction CC →
+    one per-cluster window election (dedup.canonical_keep)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50)
+    clusters = dedup.duplicate_clusters(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return dedup.canonical_keep(clusters, docs)
+
+
+# _SQL_DEDUP_CLUSTERS' labeling fixpoint + the canonical election: per
+# cluster, row_number over (n_chars DESC, doc_id ASC) picks the keeper.
+_SQL_CLUSTER_CANONICAL = rf"""
+WITH RECURSIVE w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS g(i)
+),
+hs AS (SELECT doc_id, sha256(shingle) AS s FROM sh),
+mins AS (
+  SELECT doc_id, h, min(substr(s, 8 * h + 1, 8)) AS mh
+  FROM hs, unnest(generate_series(0, 7)) AS t(h)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id, h // 2 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS sig
+  FROM mins GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+dup_pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 100 * i.n_inter >= 50 * (sa.n_sh + sb.n_sh - i.n_inter)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+jn AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM jn
+)
+SELECT cluster_id,
+       max(CASE WHEN rnk = 1 THEN doc_id END) AS keep_doc,
+       max(CASE WHEN rnk = 1 THEN n_chars END) AS keep_chars,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM rk GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -1190,28 +1322,6 @@ ORDER BY op, key
 """
 
 
-def _q_rollup(spark, sf_dir):
-    """ROLLUP over (returnflag, linestatus) with decimal-exact sums."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-_SQL_ROLLUP = """
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       count(*) AS n
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
 def _q_simhash_near(spark, sf_dir):
     """60-bit SimHash near-pairs at the classic hamming ≤ 3 dial (4 chunks ×
     15 bits = 32,768 buckets/chunk): at sf0.01 the chunk join admits 2.2% of
@@ -1425,6 +1535,48 @@ rep AS (
 SELECT s.doc_id, s.pos, s.window_md5
 FROM sh s JOIN rep r ON r.window_md5 = s.window_md5
 ORDER BY s.doc_id, s.pos, s.window_md5
+"""
+
+
+def _q_repeated_passages(spark, sf_dir):
+    """Maximal repeated passages: the gaps-and-islands merge of the
+    repeated-window scan into per-document maximal intervals — the actual
+    scrub unit (one interval per licence block / templated passage, not 51
+    overlapping windows).  Integer-only output: (doc, start_pos, end_pos,
+    n_windows, span_words)."""
+    from document_parser_spark.operators.curation import repeated_passage_intervals
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_passage_intervals(d, window_k=10, min_docs=2)
+
+
+# Same repeated-window derivation as _SQL_REPEATED_SPANS, then classic
+# gaps-and-islands (pos - row_number() per doc) merged to maximal intervals.
+_SQL_REPEATED_PASSAGES = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i+9], ' ')) AS window_md5
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS g(i)
+),
+rep AS (
+  SELECT window_md5 FROM sh GROUP BY window_md5
+  HAVING count(DISTINCT doc_id) >= 2
+),
+spans AS (
+  SELECT s.doc_id, s.pos
+  FROM sh s JOIN rep r ON r.window_md5 = s.window_md5
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM spans
+)
+SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+       count(*) AS n_windows,
+       max(pos) - min(pos) + 10 AS span_words
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start_pos
 """
 
 
@@ -1851,8 +2003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   token_stats + quality_scores   -> text_stats   (one projection)
     #   forward_fill + running_sum     -> window_ops   (one window frame)
     #   anti_join    + union_distinct  -> set_ops      (tagged union)
+    # and two more round-4 folds made room for the two new curation/dedup
+    # deliverables (repeated_passages, cluster_canonical):
+    #   distinct_ratio + shape_agg     -> agg_shapes   (tagged union)
+    #   dim_rollup     + rollup_agg    -> rollup_ops   (tagged union)
     return {
         # never-driver-attested before round 4 — keep first
+        "repeated_passages": _q_repeated_passages,
+        "cluster_canonical": _q_cluster_canonical,
+        "agg_shapes": _q_agg_shapes,
+        "rollup_ops": _q_rollup_ops,
         "ann_sketch_topk": _q_ann_sketch,
         "media_features": _q_media_features,
         "merged_cell_spans": _q_merged_cell_spans,
@@ -1872,13 +2032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "units_predicate": _q_units_predicate,
         # A-family aggregations
         "tpch_q1": _q_tpch_q1,
-        "distinct_ratio": _q_distinct_ratio,
-        "shape_agg": _q_shape_agg,
         "pivot_returnflag": _q_pivot_returnflag,
         # J-family joins
         "key_value_join": _q_key_value_join,
         "semi_join_rows": _q_semi_join_rows,
-        "dim_rollup": _q_dim_rollup,
         "asof_join": _q_asof_join,
         # W-family windows
         "topk_per_group": _q_topk_per_group,
@@ -1886,7 +2043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ops": _q_window_ops,
         # set operations
         "set_ops": _q_set_ops,
-        "rollup_agg": _q_rollup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -1918,6 +2074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "repeated_passages": _SQL_REPEATED_PASSAGES,
+        "cluster_canonical": _SQL_CLUSTER_CANONICAL,
+        "agg_shapes": _SQL_AGG_SHAPES,
+        "rollup_ops": _SQL_ROLLUP_OPS,
         "ann_sketch_topk": _SQL_ANN_SKETCH,
         "media_features": _SQL_MEDIA_FEATURES,
         "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
@@ -1926,18 +2086,14 @@ def oracle_sql() -> dict[str, str]:
         "numeric_predicate": _SQL_NUMERIC_PREDICATE,
         "units_predicate": _SQL_UNITS_PREDICATE,
         "tpch_q1": _SQL_TPCH_Q1,
-        "distinct_ratio": _SQL_DISTINCT_RATIO,
-        "shape_agg": _SQL_SHAPE_AGG,
         "pivot_returnflag": _SQL_PIVOT,
         "key_value_join": _SQL_KEY_VALUE_JOIN,
         "semi_join_rows": _SQL_SEMI_JOIN,
-        "dim_rollup": _SQL_DIM_ROLLUP,
         "asof_join": _SQL_ASOF_JOIN,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "sessionize_events": _SQL_SESSIONIZE,
         "window_ops": _SQL_WINDOW_OPS,
         "set_ops": _SQL_SET_OPS,
-        "rollup_agg": _SQL_ROLLUP,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _SQL_MINHASH_PAIRS,

@@ -154,8 +154,10 @@ QUERY_NAMES = [
     "extract_html_spans",
     "decontaminate",
     "repeated_spans",
+    "repeated_passages",
     "minhash_incremental",
     "dedup_clusters",
+    "cluster_canonical",
 ]
 
 

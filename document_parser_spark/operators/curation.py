@@ -305,3 +305,55 @@ def repeated_ngram_spans(
         .select("doc_id", "pos", "window_md5")
         .orderBy("doc_id", "pos", "window_md5")
     )
+
+
+def repeated_passage_intervals(
+    docs: DataFrame,
+    text_col: str = "text",
+    window_k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL repeated passages: merge the per-position hits of
+    ``repeated_ngram_spans`` into maximal word intervals per document — the
+    actual scrub unit a curation pipeline cuts (a 60-word licence block is
+    one interval, not 51 overlapping 10-word windows).  Classic
+    gaps-and-islands: consecutive repeated window positions share the island
+    key ``pos - row_number()``; each island is one maximal passage.
+
+    Output per (doc, island): ``start_pos``/``end_pos`` (1-based positions
+    of the first/last repeated window), ``n_windows`` (island size), and
+    ``span_words = end_pos - start_pos + window_k`` (the passage length in
+    words, since the last window covers ``end_pos .. end_pos+k-1``).  All
+    integer arithmetic — oracle-exact in any engine.
+
+    Scale shape: inherits the no-pair-join shape of ``repeated_ngram_spans``
+    (explode → hash groupBy → equi join back), then ONE window partitioned
+    by doc_id ordered by pos — per-document state only, no cross-document
+    shuffle beyond the repartition the window itself needs.  Repeated-hit
+    rows are a small fraction of the corpus (only windows shared across
+    docs survive), so the window input is the scrub list, not the corpus."""
+    spans = repeated_ngram_spans(
+        docs, text_col=text_col, window_k=window_k, min_docs=min_docs
+    ).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = spans.withColumn(
+        "island", F.col("pos") - F.row_number().over(w).cast("long")
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            "n_windows",
+            (F.col("end_pos") - F.col("start_pos") + F.lit(window_k).cast("long")).alias(
+                "span_words"
+            ),
+        )
+        .orderBy("doc_id", "start_pos")
+    )

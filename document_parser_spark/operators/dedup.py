@@ -444,6 +444,50 @@ def duplicate_clusters_propagation(pairs: DataFrame, max_iter: int = 20) -> Data
     return out
 
 
+def canonical_keep(
+    clusters: DataFrame,
+    docs: DataFrame,
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """The keep/drop DECISION a dedup pipeline ships: per near-dup cluster,
+    elect the canonical document (largest ``size_col``, ties to the smallest
+    doc_id — the deterministic "keep the longest" policy of public dedup
+    pipelines) and report the cluster's membership accounting.
+
+    Input: ``clusters`` = (doc_id, cluster_id) from ``duplicate_clusters``;
+    ``docs`` supplies the per-doc size column.  Output one row per cluster:
+    (cluster_id, keep_doc, keep_chars, n_members, n_dropped) — all integers,
+    oracle-exact.
+
+    Scale shape: clustered docs are a small fraction of the corpus (only
+    near-dup participants carry a cluster row), so the doc_id equi-join
+    against the docs projection is AQE-broadcastable from the cluster side;
+    the election is ONE window over cluster_id (per-cluster state, clusters
+    are near-dup-sized, no skew beyond a pathological mega-cluster which the
+    star-contraction labeling already bounds).  No driver-side state."""
+    j = clusters.join(docs.select("doc_id", size_col), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(size_col), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc"),
+            F.max(F.when(F.col("rnk") == 1, F.col(size_col))).alias("keep_chars"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            "keep_doc",
+            "keep_chars",
+            "n_members",
+            (F.col("n_members") - F.lit(1).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _word_hash60(word: Column) -> Column:
     """First 60 bits of md5 as a long — same in DuckDB via
     ``('0x' || substr(md5(w),1,15))::BIGINT``."""

@@ -368,3 +368,48 @@ def test_repeated_ngram_spans_semantics(spark):
     ]
     # 'viral passage here' is window 1 of doc 1 and window 4 of doc 2
     assert rows == [(1, 1), (2, 4)]
+
+
+def test_repeated_passage_intervals_merge(spark):
+    """Consecutive repeated windows merge into ONE maximal interval per run;
+    two disjoint shared passages in the same doc stay two islands."""
+    from document_parser_spark.operators.curation import repeated_passage_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e X p q r s t"),
+            (2, "a b c d e Y p q r s t"),
+            (3, "nothing shared with the others at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_windows"], r["span_words"])
+        for r in repeated_passage_intervals(df, window_k=3, min_docs=2).collect()
+    ]
+    # 'a b c d e' → windows at pos 1-3; 'p q r s t' → windows at pos 7-9;
+    # the single-word mutation at pos 6 (X/Y) splits the islands.
+    assert rows == [
+        (1, 1, 3, 3, 5),
+        (1, 7, 9, 3, 5),
+        (2, 1, 3, 3, 5),
+        (2, 7, 9, 3, 5),
+    ]
+
+
+def test_canonical_keep_election(spark):
+    """Largest n_chars wins; ties break to the smallest doc_id; membership
+    accounting is exact."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (5, 7), (6, 7), (9, 999)],
+        "doc_id long, n_chars long",
+    )
+    rows = [
+        (r["cluster_id"], r["keep_doc"], r["keep_chars"], r["n_members"], r["n_dropped"])
+        for r in dedup.canonical_keep(clusters, docs).collect()
+    ]
+    assert rows == [(1, 2, 50, 3, 2), (5, 5, 7, 2, 1)]
