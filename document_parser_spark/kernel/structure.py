@@ -154,28 +154,37 @@ def detect_column_groups(column_headers: List[Dict[str, Any]]) -> List[Dict[str,
     return [g for g in groups if len(g["columns"]) > 1]
 
 
-def extract_vertical(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
-    """Key-value table: the header row is demoted to data; synthetic column
-    names ``Key``/``Value`` (2 cols) or ``Column {i}``.
-
-    Parity: use_marker_converter.py:368-431.
-    """
+def extract_vertical_columns(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
+    """Columnar twin of ``extract_vertical``: identical decision semantics,
+    but cells come back as parallel column lists (``cells_cols`` /
+    ``header_cells_cols``) instead of one dict per cell — the shape the
+    Arrow batch builder (operators/extract.py) consumes directly.  The dict
+    form is DERIVED from this one (``extract_vertical`` wraps it), so the
+    parity surface lives exactly once."""
     data = [raw["headers"]] + raw["rows"]
     ncols = len(raw["headers"])
     names = ["Key", "Value"] if ncols == 2 else [f"Column {i}" for i in range(ncols)]
 
-    cells = [
-        {
-            "row": r,
-            "col": c,
-            "header": names[c] if c < len(names) else f"Column {c}",
-            "header_levels": [names[c] if c < len(names) else f"Column {c}"],
-            "text": clean_cell(cell),
-            "is_numeric": is_numeric_cell(cell),
-        }
-        for r, row in enumerate(data)
-        for c, cell in enumerate(row)
-    ]
+    # the reference does NOT truncate vertical rows to the header width —
+    # past-the-names columns fall back to "Column {c}"
+    maxw = max((len(row) for row in data), default=0)
+    eff_names = [names[c] if c < ncols else f"Column {c}" for c in range(maxw)]
+    eff_levels = [[nm] for nm in eff_names]
+
+    c_row: List[int] = []
+    c_col: List[int] = []
+    c_hdr: List[str] = []
+    c_lvl: List[List[str]] = []
+    c_text: List[str] = []
+    c_num: List[bool] = []
+    for r, row in enumerate(data):
+        k = len(row)
+        c_row.extend([r] * k)
+        c_col.extend(range(k))
+        c_hdr.extend(eff_names[:k])
+        c_lvl.extend(eff_levels[:k])
+        c_text.extend(map(clean_cell, row))
+        c_num.extend(map(is_numeric_cell, row))
     return {
         "index": table_index,
         "source": source,
@@ -189,8 +198,132 @@ def extract_vertical(raw: Dict[str, Any], table_index: int, source: str = "markd
             {"col": i, "levels": [nm], "full_path": nm} for i, nm in enumerate(names)
         ],
         "column_groups": [],
-        "header_cells": [],
-        "cells": cells,
+        "header_cells_cols": ([], [], []),
+        "cells_cols": (c_row, c_col, c_hdr, c_lvl, c_text, c_num),
+    }
+
+
+def columns_to_dicts(table: Dict[str, Any]) -> Dict[str, Any]:
+    """Zip a columnar table (``*_cols`` fields) into the canonical dict-form
+    record — byte-identical to what the pre-columnar extractors built (the
+    reference-parity and golden oracles consume this form)."""
+    c_row, c_col, c_hdr, c_lvl, c_text, c_num = table.pop("cells_cols")
+    table["cells"] = [
+        {
+            "row": r,
+            "col": c,
+            "header": h,
+            "header_levels": lv,
+            "text": x,
+            "is_numeric": b,
+        }
+        for r, c, h, lv, x, b in zip(c_row, c_col, c_hdr, c_lvl, c_text, c_num)
+    ]
+    h_row, h_col, h_text = table.pop("header_cells_cols")
+    table["header_cells"] = [
+        {"header_row": r, "col": c, "text": x, "is_header": True}
+        for r, c, x in zip(h_row, h_col, h_text)
+    ]
+    # restore canonical key order (cells last, as the dict extractors emitted)
+    table["cells"] = table.pop("cells")
+    return table
+
+
+def extract_vertical(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
+    """Key-value table: the header row is demoted to data; synthetic column
+    names ``Key``/``Value`` (2 cols) or ``Column {i}``.
+
+    Parity: use_marker_converter.py:368-431.
+    """
+    return columns_to_dicts(extract_vertical_columns(raw, table_index, source, title))
+
+
+def dicts_to_columns(table: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of ``columns_to_dicts`` — lift a dict-form table (e.g. from
+    the HTML kernel) into the columnar shape the Arrow batch builder
+    consumes.  Pays the same per-cell dict reads the old conversion did, so
+    dict-kernel sources are no slower than before."""
+    cells = table.pop("cells")
+    table["cells_cols"] = (
+        [c["row"] for c in cells],
+        [c["col"] for c in cells],
+        [c["header"] for c in cells],
+        [c["header_levels"] for c in cells],
+        [c["text"] for c in cells],
+        [c["is_numeric"] for c in cells],
+    )
+    header_cells = table.pop("header_cells")
+    table["header_cells_cols"] = (
+        [c["header_row"] for c in header_cells],
+        [c["col"] for c in header_cells],
+        [c["text"] for c in header_cells],
+    )
+    return table
+
+
+def extract_horizontal_columns(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
+    """Columnar twin of ``extract_horizontal`` — same header machinery, but
+    the per-cell output is parallel column lists built with C-speed
+    ``extend`` over precomputed per-row slices (the per-cell dict literal
+    was ~25% of whole-document parse time; the Arrow batch builder consumes
+    these columns with no per-cell Python at all).  The dict form is derived
+    (``extract_horizontal`` wraps this), so the reference-parity decision
+    logic lives exactly once."""
+    all_rows = [raw["headers"]] + raw["rows"]
+    hrc = detect_header_rows(all_rows)
+    column_headers = build_header_hierarchy(all_rows, hrc)
+    groups = detect_column_groups(column_headers)
+    data_rows = all_rows[hrc:]
+
+    ncol = len(column_headers)
+    col_paths = [ch["full_path"] for ch in column_headers]
+    col_levels = [ch["levels"] for ch in column_headers]
+    col_range = range(ncol)
+
+    c_row: List[int] = []
+    c_col: List[int] = []
+    c_hdr: List[str] = []
+    c_lvl: List[List[str]] = []
+    c_text: List[str] = []
+    c_num: List[bool] = []
+    for r, row in enumerate(data_rows):
+        k = len(row)
+        if k > ncol:
+            k = ncol
+            row = row[:ncol]
+        c_row.extend([r] * k)
+        c_col.extend(col_range[:k])
+        c_hdr.extend(col_paths[:k])
+        c_lvl.extend(col_levels[:k])
+        c_text.extend(map(clean_cell, row))
+        c_num.extend(map(is_numeric_cell, row))
+
+    h_row: List[int] = []
+    h_col: List[int] = []
+    h_text: List[str] = []
+    for r in range(min(hrc, len(all_rows))):
+        row = all_rows[r]
+        k = len(row)
+        if k > ncol:
+            k = ncol
+            row = row[:ncol]
+        h_row.extend([r] * k)
+        h_col.extend(col_range[:k])
+        h_text.extend(map(clean_cell, row))
+
+    return {
+        "index": table_index,
+        "source": source,
+        "title": title,
+        "table_type": "horizontal",
+        "num_columns": ncol,
+        "num_rows": len(data_rows),
+        "header_row_count": hrc,
+        "headers": list(col_paths),
+        "column_headers": column_headers,
+        "column_groups": groups,
+        "header_cells_cols": (h_row, h_col, h_text),
+        "cells_cols": (c_row, c_col, c_hdr, c_lvl, c_text, c_num),
     }
 
 
@@ -200,51 +333,14 @@ def extract_horizontal(raw: Dict[str, Any], table_index: int, source: str = "mar
 
     Parity: use_marker_converter.py:516-580.
     """
-    all_rows = [raw["headers"]] + raw["rows"]
-    hrc = detect_header_rows(all_rows)
-    column_headers = build_header_hierarchy(all_rows, hrc)
-    groups = detect_column_groups(column_headers)
-    data_rows = all_rows[hrc:]
+    return columns_to_dicts(extract_horizontal_columns(raw, table_index, source, title))
 
-    # hot loop: hoist the per-column dict chains and the len() out of the
-    # per-cell comprehension (~20% of whole-document parse time was spent
-    # re-indexing column_headers[c][...] per cell; output byte-identical)
-    ncol = len(column_headers)
-    col_paths = [ch["full_path"] for ch in column_headers]
-    col_levels = [ch["levels"] for ch in column_headers]
-    cells = [
-        {
-            "row": r,
-            "col": c,
-            "header": col_paths[c],
-            "header_levels": col_levels[c],
-            "text": clean_cell(cell),
-            "is_numeric": is_numeric_cell(cell),
-        }
-        for r, row in enumerate(data_rows)
-        for c, cell in enumerate(row)
-        if c < ncol
-    ]
-    header_cells = [
-        {"header_row": r, "col": c, "text": clean_cell(cell), "is_header": True}
-        for r in range(min(hrc, len(all_rows)))
-        for c, cell in enumerate(all_rows[r])
-        if c < ncol
-    ]
-    return {
-        "index": table_index,
-        "source": source,
-        "title": title,
-        "table_type": "horizontal",
-        "num_columns": len(column_headers),
-        "num_rows": len(data_rows),
-        "header_row_count": hrc,
-        "headers": list(col_paths),
-        "column_headers": column_headers,
-        "column_groups": groups,
-        "header_cells": header_cells,
-        "cells": cells,
-    }
+
+def extract_table_auto_columns(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
+    """Columnar dispatch twin of ``extract_table_auto``."""
+    if detect_table_structure(raw["headers"], raw["rows"]) == "vertical":
+        return extract_vertical_columns(raw, table_index, source, title)
+    return extract_horizontal_columns(raw, table_index, source, title)
 
 
 def extract_table_auto(raw: Dict[str, Any], table_index: int, source: str = "markdown", title: str = "") -> Dict[str, Any]:
