@@ -1235,6 +1235,36 @@ FROM sh ORDER BY doc_id
 """
 
 
+def _q_bigram_novelty(spark, sf_dir):
+    """Corpus-statistics quality proxy (integer-exact CCNet-perplexity
+    analogue): per doc, total/distinct/corpus-common bigram counts — the
+    common set (document frequency ≥ 3) is the Zipf head, broadcast to a
+    map-side probe (decontaminate shape, zero corpus-side shuffle)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_novelty(d, common_df=3)
+
+
+_SQL_BIGRAM_NOVELTY = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+),
+common AS (
+  SELECT bigram FROM bg GROUP BY bigram HAVING count(DISTINCT doc_id) >= 3
+),
+probed AS (
+  SELECT b.doc_id, b.bigram, (c.bigram IS NOT NULL) AS hit
+  FROM bg b LEFT JOIN common c ON c.bigram = b.bigram
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       count(DISTINCT bigram) AS n_distinct,
+       count(CASE WHEN hit THEN 1 END) AS n_common,
+       count(DISTINCT CASE WHEN hit THEN bigram END) AS n_common_distinct
+FROM probed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---- similarity (oracled) ------------------------------------------------------
 
 def _q_embedding_topk(spark, sf_dir):
@@ -1580,35 +1610,38 @@ ORDER BY doc_id, start_pos
 """
 
 
-def _q_stratified_sample(spark, sf_dir):
-    """Deterministic per-stratum downsampling (en 50%, fr 100%, rest 25%)."""
-    from document_parser_spark.operators.curation import stratified_sample
+def _q_curation_assign(spark, sf_dir):
+    """Stratified sampling + shard packing in one tagged result (round-4
+    registry fold of stratified_sample + pack_shards for the 50-row driver
+    CORRECTNESS window; both are per-doc assignment decisions).  Branch
+    'sample': deterministic per-stratum downsampling (en 50%, fr 100%, rest
+    25%) with the md5-derived keep decision; branch 'pack': greedy
+    token-budget shard packing per language (2,000 tokens/shard, 2-level
+    cumsum).  Both attested by the one hash."""
+    from document_parser_spark.operators.curation import pack_shards, stratified_sample
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    out = stratified_sample(d, rates_pct={"en": 50, "fr": 100}, default_pct=25)
-    return out.select("doc_id", "lang", F.length("text").cast("long").alias("n_chars")).orderBy(
-        "doc_id"
+    samp = (
+        stratified_sample(d, rates_pct={"en": 50, "fr": 100}, default_pct=25)
+        .select(
+            F.lit("sample").alias("op"),
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("a"),
+            F.lit(None).cast("long").alias("b"),
+        )
     )
+    pack = pack_shards(d, budget_tokens=2000).select(
+        F.lit("pack").alias("op"),
+        "doc_id",
+        "lang",
+        F.col("n_tokens").alias("a"),
+        F.col("shard_id").alias("b"),
+    )
+    return samp.unionByName(pack).orderBy("op", "doc_id")
 
 
-_SQL_STRATIFIED_SAMPLE = """
-SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-FROM documents
-WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-      < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100 ELSE 25 END
-ORDER BY doc_id
-"""
-
-
-def _q_pack_shards(spark, sf_dir):
-    """Greedy token-budget shard packing per language (2,000 tokens/shard)."""
-    from document_parser_spark.operators.curation import pack_shards
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return pack_shards(d, budget_tokens=2000).orderBy("lang", "doc_id")
-
-
-_SQL_PACK_SHARDS = rf"""
+_SQL_CURATION_ASSIGN = rf"""
 WITH toks AS (
   SELECT lang, doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
   FROM documents
@@ -1619,8 +1652,16 @@ cum AS (
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
   FROM toks
 )
-SELECT lang, doc_id, n_tokens, CAST(before // 2000 AS BIGINT) AS shard_id
-FROM cum ORDER BY lang, doc_id
+SELECT 'sample' AS op, doc_id, lang, CAST(length(text) AS BIGINT) AS a,
+       CAST(NULL AS BIGINT) AS b
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100 ELSE 25 END
+UNION ALL
+SELECT 'pack' AS op, doc_id, lang, n_tokens AS a,
+       CAST(before // 2000 AS BIGINT) AS b
+FROM cum
+ORDER BY op, doc_id
 """
 
 
@@ -2011,8 +2052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-attested before round 4 — keep first
         "repeated_passages": _q_repeated_passages,
         "cluster_canonical": _q_cluster_canonical,
+        "bigram_novelty": _q_bigram_novelty,
         "agg_shapes": _q_agg_shapes,
         "rollup_ops": _q_rollup_ops,
+        "curation_assign": _q_curation_assign,
         "ann_sketch_topk": _q_ann_sketch,
         "media_features": _q_media_features,
         "merged_cell_spans": _q_merged_cell_spans,
@@ -2059,8 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": _q_gopher_gate,
         "decontaminate": _q_decontaminate,
         "repeated_spans": _q_repeated_spans,
-        "stratified_sample": _q_stratified_sample,
-        "pack_shards": _q_pack_shards,
         "fingerprints": _q_fingerprints,
         # dedup (near-pair variants)
         "simhash_near_pairs": _q_simhash_near,
@@ -2076,8 +2117,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "repeated_passages": _SQL_REPEATED_PASSAGES,
         "cluster_canonical": _SQL_CLUSTER_CANONICAL,
+        "bigram_novelty": _SQL_BIGRAM_NOVELTY,
         "agg_shapes": _SQL_AGG_SHAPES,
         "rollup_ops": _SQL_ROLLUP_OPS,
+        "curation_assign": _SQL_CURATION_ASSIGN,
         "ann_sketch_topk": _SQL_ANN_SKETCH,
         "media_features": _SQL_MEDIA_FEATURES,
         "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
@@ -2109,8 +2152,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gate": _SQL_GOPHER_GATE,
         "decontaminate": _SQL_DECONTAMINATE,
         "repeated_spans": _SQL_REPEATED_SPANS,
-        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
-        "pack_shards": _SQL_PACK_SHARDS,
         "fingerprints": _SQL_FINGERPRINTS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH,

@@ -148,6 +148,7 @@ QUERY_NAMES = [
     "repetition_stats",
     "scrub_pii",
     "fingerprints",
+    "bigram_novelty",
     "curate_corpus",
     "embedding_near_dup",
     "simhash_near_pairs",

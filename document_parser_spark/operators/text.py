@@ -190,6 +190,49 @@ def fingerprints(df: DataFrame, text_col: str = "text", shingle_words: int = 3) 
     )
 
 
+def bigram_novelty(
+    df: DataFrame, text_col: str = "text", common_df: int = 3
+) -> DataFrame:
+    """Corpus-statistics quality proxy (the integer-exact analogue of the
+    CCNet/RedPajama perplexity filter, public pipeline family): per document,
+    how much of its word-bigram stream is CORPUS-COMMON vs novel.  A high
+    common fraction reads like templated/boilerplate text (low LM
+    perplexity); a low one like novel — or noisy — text (high perplexity).
+    All outputs are integer counts (n_bigrams / n_distinct / n_common /
+    n_common_distinct), so the filter ratio ``100·n_common ≥ pct·n_bigrams``
+    is bit-identical in any engine.
+
+    Scale shape: one bigram explode → partial-aggregated DOCUMENT-frequency
+    count → the common set (df ≥ ``common_df``) is the Zipf HEAD — few
+    distinct TYPES even at corpus scale — so it BROADCASTS to a map-side
+    probe of the bigram stream (the decontaminate shape: zero corpus-side
+    shuffle beyond the one doc_id aggregation).  Docs with fewer than two
+    words have no bigrams and drop out, exactly like the SQL mirror's
+    generate_series producing no rows."""
+    bg = df.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+    )
+    common = (
+        bg.groupBy("bigram")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") >= common_df)
+        .select("bigram", F.lit(1).alias("_common"))
+    )
+    probed = bg.join(F.broadcast(common), "bigram", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct"),
+            F.count(F.when(F.col("_common") == 1, 1)).alias("n_common"),
+            F.countDistinct(
+                F.when(F.col("_common") == 1, F.col("bigram"))
+            ).alias("n_common_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: top-word fraction and
     top-bigram fraction as exact integers (numerator/denominator pairs — the

@@ -413,3 +413,31 @@ def test_canonical_keep_election(spark):
         for r in dedup.canonical_keep(clusters, docs).collect()
     ]
     assert rows == [(1, 2, 50, 3, 2), (5, 5, 7, 2, 1)]
+
+
+def test_bigram_novelty_counts(spark):
+    """Common = bigram in >= common_df distinct docs; counts are exact
+    integers; docs with <2 words drop out."""
+    from document_parser_spark.operators.text import bigram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # bigrams: 'the cat', 'cat sat'
+            (2, "the cat ran"),          # 'the cat', 'cat ran'
+            (3, "the cat ate"),          # 'the cat', 'cat ate'
+            (4, "totally novel words"),  # no common bigrams
+            (5, "single"),               # no bigrams -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["n_distinct"], r["n_common"], r["n_common_distinct"])
+        for r in bigram_novelty(df, common_df=3).collect()
+    }
+    # 'the cat' appears in docs 1,2,3 (df=3 >= 3) -> the only common bigram
+    assert rows == {
+        1: (2, 2, 1, 1),
+        2: (2, 2, 1, 1),
+        3: (2, 2, 1, 1),
+        4: (2, 2, 0, 0),
+    }
