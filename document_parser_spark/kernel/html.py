@@ -28,12 +28,13 @@ Boilerplate rules (frozen):
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Dict, List, Optional, Tuple
 
 from .normalize import normalize_scripts
 from .scanner import _DENSITY_MIN, Span, text_density
-from .structure import extract_table_auto
+from .structure import extract_table_auto, extract_table_auto_columns
 
 _BOILER_ANCESTORS = frozenset({"nav", "header", "footer", "aside"})
 _DROP_TAGS = frozenset({"script", "style", "title"})  # title = head metadata
@@ -304,21 +305,157 @@ class _DomScanner(HTMLParser):
             self._emit_table()
 
 
+# --- fast tokenizer ----------------------------------------------------------
+# stdlib HTMLParser spends ~84% of the HTML scan in its own dispatch machinery
+# (goahead / check_for_whole_start_tag / per-attr loops), measured r04 profile.
+# This tokenizer feeds the SAME _DomScanner handler methods the IDENTICAL
+# event stream for well-formed markup, and returns False (→ caller re-runs the
+# stdlib parser on a fresh scanner) the moment it sees anything whose stdlib
+# recovery semantics are nontrivial: malformed/EOF-truncated tags, marked
+# sections, unterminated comments/PIs/declarations, exotic attribute syntax.
+# Event parity is replicated from CPython 3.11 html/parser.py goahead():
+#   * convert_charrefs=True, non-cdata: data runs are raw[i:find('<',i)]
+#     passed through html.unescape — one handle_data per run;
+#   * start tags: handle_starttag/handle_startendtag with lowercased name;
+#     attrs are only materialized for <img> (the one tag whose attrs the
+#     scanner reads) with parse_starttag's quote-strip + unescape rules;
+#   * script/style: cdata mode — data up to the full  </\s*tag\s*>  close
+#     pattern (3.11 set_cdata_mode), NOT charref-converted; an unterminated
+#     cdata body is swallowed with no data event (goahead end-branch parity);
+#   * <!--…--> closes on  --\s*>  (_markupbase._commentclose); <!doctype …>
+#     skips to '>'; other <!…> are bogus comments skipping to '>'; <?…>
+#     skips to '>' — all handler no-ops for this scanner;
+#   * a '<' that opens none of the above is emitted as a lone handle_data("<")
+#     and scanning resumes one char later (goahead's invalid-'<' rule).
+# Equality is gated per-corpus AND per-construct in tests/test_html_fast.py
+# (fast vs stdlib event-for-event on every corpus + adversarial fragments).
+
+_FAST_STARTTAG_RX = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ENDTAG_RX = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FAST_ATTR_RX = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+_FAST_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+_COMMENT_CLOSE_RX = re.compile(r"--\s*>")
+
+
+def _img_attrs(attr_str: str) -> List[Tuple[str, Optional[str]]]:
+    """parse_starttag's attr rules on a strict-shape attr block: lowercase
+    names, strip balanced quotes, unescape non-empty values, None when the
+    attribute has no '='."""
+    attrs: List[Tuple[str, Optional[str]]] = []
+    for m in _FAST_ATTR_RX.finditer(attr_str):
+        value = m.group(2)
+        if value is not None:
+            if value[:1] in "\"'":
+                value = value[1:-1]
+            if value:
+                value = unescape(value)
+        attrs.append((m.group(1).lower(), value))
+    return attrs
+
+
+def _fast_feed(sc: _DomScanner, raw: str) -> bool:
+    """Drive ``sc``'s handler methods over ``raw``; True = complete, False =
+    bailed (caller must redo the whole document on a FRESH scanner via the
+    stdlib parser — handlers may already have fired)."""
+    pos, n = 0, len(raw)
+    find = raw.find
+    hd = sc.handle_data
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            hd(unescape(raw[pos:n]))
+            return True
+        if lt > pos:
+            hd(unescape(raw[pos:lt]))
+        nxt = raw[lt + 1 : lt + 2]
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # starttagopen is ASCII-only
+            m = _FAST_STARTTAG_RX.match(raw, lt)
+            if m is None:
+                return False
+            tag = m.group(1).lower()
+            attrs = _img_attrs(m.group(2)) if tag == "img" else []
+            pos = m.end()
+            if m.group(3):
+                sc.handle_startendtag(tag, attrs)
+                continue
+            sc.handle_starttag(tag, attrs)
+            if tag in _FAST_CDATA_CLOSE:
+                cm = _FAST_CDATA_CLOSE[tag].search(raw, pos)
+                if cm is None:
+                    return True  # unterminated cdata: stdlib swallows it too
+                if cm.start() > pos:
+                    hd(raw[pos : cm.start()])  # cdata: no charref conversion
+                sc.handle_endtag(tag)
+                pos = cm.end()
+        elif nxt == "/":
+            m = _FAST_ENDTAG_RX.match(raw, lt)
+            if m is None:
+                return False
+            sc.handle_endtag(m.group(1).lower())
+            pos = m.end()
+        elif nxt == "!":
+            if raw.startswith("<!--", lt):
+                cm = _COMMENT_CLOSE_RX.search(raw, lt + 4)
+                if cm is None:
+                    return False
+                pos = cm.end()
+            elif raw.startswith("<![", lt):
+                return False  # marked section: stdlib recovery is nontrivial
+            else:
+                gt = find(">", lt + (9 if raw[lt : lt + 9].lower() == "<!doctype" else 2))
+                if gt < 0:
+                    return False
+                pos = gt + 1
+        elif nxt == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                return False
+            pos = gt + 1
+        else:
+            # goahead's invalid-'<' rule: lone data char, resume one later
+            hd("<")
+            pos = lt + 1
+    return True
+
+
 def scan_html(html_text: str) -> Tuple[List[Span], List[Dict[str, Any]]]:
     """One DOM walk: (spans, raw_tables) in document order — the HTML twin
-    of scanner.scan_markdown."""
+    of scanner.scan_markdown.  Fast tokenizer first; stdlib HTMLParser on a
+    fresh scanner when it bails (identical events either way)."""
     scanner = _DomScanner()
-    scanner.feed(html_text)
+    if not _fast_feed(scanner, html_text):
+        scanner = _DomScanner()
+        scanner.feed(html_text)
     scanner.close()
     return scanner.spans, scanner.raw_tables
 
 
-def parse_html_document(text: str, source: str = "html") -> Dict[str, Any]:
+def parse_html_document(
+    text: str, source: str = "html", columns: bool = False
+) -> Dict[str, Any]:
     """Full per-document HTML parse, same output contract as
-    pipeline.parse_document: {"spans", "tables", "markdown"}."""
+    pipeline.parse_document: {"spans", "tables", "markdown"}.
+
+    ``columns=True`` routes table structure through the columnar twin
+    (``extract_table_auto_columns``) so the Arrow batch builder gets
+    parallel lists with no per-cell dicts — same decision semantics (the
+    dispatch and header machinery are the shared functions), equality-gated
+    against the dict path in tests/test_columnar_arrow.py."""
     spans, raw_tables = scan_html(text)
+    extractor = extract_table_auto_columns if columns else extract_table_auto
     tables = [
-        extract_table_auto(raw, table_index=idx, source=source, title=raw.get("title", ""))
+        extractor(raw, table_index=idx, source=source, title=raw.get("title", ""))
         for idx, raw in enumerate(raw_tables)
     ]
     for raw, table in zip(raw_tables, tables):

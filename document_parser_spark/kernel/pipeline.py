@@ -54,16 +54,14 @@ def parse_document_columns(text: str, source: str = "markdown") -> Dict[str, Any
     structure machinery are the very same functions), but each table carries
     ``cells_cols``/``header_cells_cols`` parallel lists instead of per-cell
     dicts — the per-cell dict literal was ~25% of parse time and the Arrow
-    conversion re-walked every dict again.  HTML documents flow through the
-    dict kernel unchanged and are converted via ``dicts_to_columns``
+    conversion re-walked every dict again.  HTML documents take the same
+    columnar structure twin via ``parse_html_document(columns=True)``
     (equality-gated in tests/test_columnar_arrow.py)."""
     from .html import looks_like_html, parse_html_document
-    from .structure import dicts_to_columns, extract_table_auto_columns
+    from .structure import extract_table_auto_columns
 
     if looks_like_html(text):
-        doc = parse_html_document(text, source="html")
-        doc["tables"] = [dicts_to_columns(t) for t in doc["tables"]]
-        return doc
+        return parse_html_document(text, source="html", columns=True)
     markdown = normalize_scripts(text)
     spans, raw_tables = scan_markdown(markdown)
     tables = [

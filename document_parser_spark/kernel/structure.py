@@ -240,9 +240,11 @@ def extract_vertical(raw: Dict[str, Any], table_index: int, source: str = "markd
 
 def dicts_to_columns(table: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse of ``columns_to_dicts`` — lift a dict-form table (e.g. from
-    the HTML kernel) into the columnar shape the Arrow batch builder
-    consumes.  Pays the same per-cell dict reads the old conversion did, so
-    dict-kernel sources are no slower than before."""
+    an external ingest adapter that emits reference-shaped dicts) into the
+    columnar shape the Arrow batch builder consumes.  The in-tree kernels
+    (markdown AND html) emit columns natively via extract_*_columns; this
+    stays as the seam for dict-form sources, round-trip-gated in
+    tests/test_columnar_arrow.py."""
     cells = table.pop("cells")
     table["cells_cols"] = (
         [c["row"] for c in cells],

@@ -3,8 +3,8 @@
 The columnar kernel twin (structure.extract_*_columns + the offset-based
 Arrow batch builder) must produce BYTE-IDENTICAL Arrow arrays to the dict
 kernel + pa.array(list-of-dicts) path, on every corpus shape we ship:
-synthetic markdown, synthetic HTML (dict-kernel fallback through
-dicts_to_columns), the fixture corpus, and the degenerate edges (empty
+synthetic markdown, synthetic HTML (native columnar twin via
+parse_html_document(columns=True)), the fixture corpus, and the degenerate edges (empty
 string, None, no tables, error capture)."""
 
 import pyarrow as pa
@@ -73,6 +73,26 @@ def test_columnar_equals_dict_on_edges():
             "Title line\n\n| k | v |\n|---|---|\n| x | 1 |\n| y | 2 |\n\ntail",
         ]
     )
+
+
+def test_dicts_to_columns_inverts_columns_to_dicts():
+    """The external-dict-source seam: lifting the dict form of a table must
+    reproduce exactly what the columnar extractor emits natively, on both
+    dispatch branches (horizontal + vertical)."""
+    from document_parser_spark.kernel.structure import (
+        dicts_to_columns,
+        extract_table_auto,
+        extract_table_auto_columns,
+    )
+
+    raws = [
+        {"headers": ["A", "B"], "rows": [["1", "2"], ["3", "4"]], "title": ""},
+        {"headers": ["Key", "Val"], "rows": [["alpha", "x"], ["beta", "y"]], "title": ""},
+    ]
+    for raw in raws:
+        native = extract_table_auto_columns(raw, table_index=0)
+        lifted = dicts_to_columns(extract_table_auto(raw, table_index=0))
+        assert lifted == native
 
 
 def test_spark_roundtrip_matches_dict_path(spark):
