@@ -2030,6 +2030,126 @@ ORDER BY doc_id, "offset", owner_row, owner_col
 """
 
 
+# ---- round-4 additions: containment dedup + tf-idf salience ----------------
+
+def _q_doc_containment(spark, sf_dir):
+    """Document-containment detection: (inner, outer) pairs where ≥80% of
+    the inner doc's distinct 10-word windows occur in the outer doc — the
+    quote/wrapper dedup relation whole-doc Jaccard misses (Lee et al.'s
+    exact-substring use case as window coverage).  Blocked on the window
+    hash like minhash bands; integer-exact floor-percent output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.containment_pairs(d, window_k=10, min_pct=80)
+
+
+_SQL_DOC_CONTAINMENT = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+win AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+9], ' ')) AS wmd5
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS g(i)
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS inner_windows FROM win GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, CAST(count(*) AS BIGINT) AS shared_windows
+  FROM win a JOIN win b ON a.wmd5 = b.wmd5 AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.inner_id, s.outer_id, s.shared_windows, t.inner_windows,
+       CAST((s.shared_windows * 100) // t.inner_windows AS BIGINT) AS containment_pct
+FROM shared s JOIN tot t ON t.doc_id = s.inner_id
+WHERE s.shared_windows * 100 >= 80 * t.inner_windows
+ORDER BY inner_id, outer_id
+"""
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Integer-exact tf-idf keyword extraction: top-5 salient terms per doc
+    by tf * ((N * 10^6) DIV df) — scaled-reciprocal idf keeps the ranking
+    semantics and the oracle hash-exact (log-idf is float-unstable across
+    engines); deterministic tie-break by term."""
+    from document_parser_spark.operators.text import tfidf_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(d, k=5)
+
+
+_SQL_TFIDF_TOPK = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+tf AS (SELECT doc_id, u.w AS word, CAST(count(*) AS BIGINT) AS tf
+       FROM w, unnest(ws) AS u(w) GROUP BY doc_id, u.w),
+dfreq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df, t.tf * ((n.n_docs * 1000000) // d.df) AS score
+  FROM tf t JOIN dfreq d USING (word), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+# ---- round-4 registry folds (50-row driver CORRECTNESS window) --------------
+
+def _q_ann_baselines(spark, sf_dir):
+    """Brute-force exact top-k + banded-LSH top-k in one tagged result
+    (round-4 fold of embedding_topk + ann_lsh_topk: same (query, neighbor,
+    cos, rank) grain; both remain attested under the one hash).  Branch
+    'brute' is the correctness baseline every ANN variant is recalled
+    against; branch 'lsh' is the bucketed probe path (clustered-corpus
+    opt-in — see similarity.ann_topk for why sketch rerank is the default
+    scale path on this corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "vec_id", "cos_sim", "rank"]
+    brute = similarity.brute_force_topk_exact(e, q, k=10).select(
+        F.lit("brute").alias("branch"), *cols
+    )
+    lsh = similarity.lsh_bucketed_topk(e, q, k=10).select(
+        F.lit("lsh").alias("branch"), *cols
+    )
+    return brute.unionByName(lsh).orderBy("branch", "query_id", "rank")
+
+
+_SQL_ANN_BASELINES = f"""
+SELECT 'brute' AS branch, * FROM ({_SQL_EMBEDDING_TOPK})
+UNION ALL
+SELECT 'lsh' AS branch, * FROM ({_SQL_ANN_LSH})
+ORDER BY branch, query_id, rank
+"""
+
+
+def _q_minhash_family(spark, sf_dir):
+    """Full-corpus banded-MinHash verified pairs + incremental-ingest pairs
+    in one tagged result (round-4 fold of minhash_pairs +
+    minhash_incremental: same verified-pair grain; both remain attested
+    under the one hash).  Branch 'full': b=4/r=2 candidates verified by
+    exact shingle Jaccard ≥ 50%.  Branch 'incremental': pairs INTRODUCED by
+    a new shard (doc_id % 5 == 0) against the rest — new×all banding,
+    old×old never regenerated."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50).select(
+        F.lit("full").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union"
+    )
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    inc = dedup.minhash_incremental_pairs(
+        new, corpus, shingle_k=5, threshold_pct=50
+    ).select(F.lit("incremental").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union")
+    return full.unionByName(inc).orderBy("branch", "doc_a", "doc_b")
+
+
+_SQL_MINHASH_FAMILY = f"""
+SELECT 'full' AS branch, * FROM ({_SQL_MINHASH_PAIRS})
+UNION ALL
+SELECT 'incremental' AS branch, * FROM ({_SQL_MINHASH_INCREMENTAL})
+ORDER BY branch, doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2048,8 +2168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deliverables (repeated_passages, cluster_canonical):
     #   distinct_ratio + shape_agg     -> agg_shapes   (tagged union)
     #   dim_rollup     + rollup_agg    -> rollup_ops   (tagged union)
+    # round-4 continuation: two more same-grain folds made room for
+    # doc_containment + tfidf_topk:
+    #   embedding_topk + ann_lsh_topk          -> ann_baselines  (tagged union)
+    #   minhash_pairs  + minhash_incremental   -> minhash_family (tagged union)
     return {
-        # never-driver-attested before round 4 — keep first
+        # never-driver-attested — keep first
+        "doc_containment": _q_doc_containment,
+        "tfidf_topk": _q_tfidf_topk,
+        "ann_baselines": _q_ann_baselines,
+        "minhash_family": _q_minhash_family,
         "repeated_passages": _q_repeated_passages,
         "cluster_canonical": _q_cluster_canonical,
         "bigram_novelty": _q_bigram_novelty,
@@ -2088,8 +2216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         # dedup family
         "dedup_exact": _q_dedup_exact,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2107,14 +2233,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near,
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity
-        "embedding_topk": _q_embedding_topk,
-        "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_containment": _SQL_DOC_CONTAINMENT,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
+        "ann_baselines": _SQL_ANN_BASELINES,
+        "minhash_family": _SQL_MINHASH_FAMILY,
         "repeated_passages": _SQL_REPEATED_PASSAGES,
         "cluster_canonical": _SQL_CLUSTER_CANONICAL,
         "bigram_novelty": _SQL_BIGRAM_NOVELTY,
@@ -2139,8 +2267,6 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "minhash_pairs": _SQL_MINHASH_PAIRS,
-        "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "simhash_docs": _SQL_SIMHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
@@ -2153,8 +2279,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "repeated_spans": _SQL_REPEATED_SPANS,
         "fingerprints": _SQL_FINGERPRINTS,
-        "embedding_topk": _SQL_EMBEDDING_TOPK,
-        "ann_lsh_topk": _SQL_ANN_LSH,
         "ivf_topk": _SQL_IVF_TOPK,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         # parse surface vs golden-parquet kernel oracle (scripts/build_golden.py)

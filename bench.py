@@ -140,7 +140,7 @@ QUERY_NAMES = [
     "sessionize_events",
     # training-data ops
     "dedup_exact",
-    "minhash_pairs",
+    "minhash_family",
     "simhash_docs",
     "ngram_jaccard",
     "text_stats",
@@ -156,9 +156,10 @@ QUERY_NAMES = [
     "decontaminate",
     "repeated_spans",
     "repeated_passages",
-    "minhash_incremental",
+    "doc_containment",
     "dedup_clusters",
     "cluster_canonical",
+    "tfidf_topk",
 ]
 
 

@@ -795,3 +795,64 @@ def ngram_jaccard_pairs(
         .filter(F.lit(100) * F.col("n_inter") >= F.lit(threshold_pct) * F.col("n_union"))
     )
     return out.select("doc_a", "doc_b", "n_inter", "n_union").orderBy("doc_a", "doc_b")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    window_k: int = 10,
+    min_pct: int = 80,
+) -> DataFrame:
+    """Document-containment detection: ordered pairs (inner, outer) where
+    ≥ ``min_pct``% of the INNER document's DISTINCT ``window_k``-word
+    windows also occur in the OUTER document — the quote/wrapper dedup
+    relation whole-doc Jaccard misses (a short doc embedded verbatim in a
+    much larger page scores low Jaccard but 100% containment; "identify
+    near-duplicate and contained documents" is the suffix-array use case of
+    Lee et al.'s dedup paper, expressed here as window-coverage).
+
+    Scale shape: distinct (doc, window-md5) explode → self equi-join on the
+    window hash (blocked exactly like minhash bands / repeated windows —
+    candidate volume is bound by cross-document window collisions, no
+    all-pairs path) → per-ordered-pair shared count → floor-percent against
+    the inner doc's distinct-window total.  Integer-exact end to end: both
+    engines floor positive BIGINT division.  Viral boilerplate windows
+    inflate the candidate join the same way they inflate
+    curation.repeated_ngram_spans — scrub those first (see
+    repeated_passage_intervals) on corpora where that bites.  Docs with
+    fewer than ``window_k`` words have no windows and cannot appear on
+    either side.
+    """
+    from .text import word_shingles
+
+    w = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(F.col(text_col), window_k)).alias("window"),
+        )
+        .select("doc_id", F.md5("window").alias("wmd5"))
+        .distinct()
+    )
+    totals = w.groupBy("doc_id").agg(F.count("*").alias("inner_windows"))
+    a = w.select(F.col("doc_id").alias("inner_id"), "wmd5")
+    b = w.select(F.col("doc_id").alias("outer_id"), "wmd5")
+    shared = (
+        a.join(b, "wmd5")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count("*").alias("shared_windows"))
+    )
+    return (
+        shared.join(totals.withColumnRenamed("doc_id", "inner_id"), "inner_id")
+        .filter(
+            F.col("shared_windows") * 100 >= F.lit(min_pct) * F.col("inner_windows")
+        )
+        .select(
+            "inner_id",
+            "outer_id",
+            "shared_windows",
+            "inner_windows",
+            F.expr("(shared_windows * 100) div inner_windows").alias("containment_pct"),
+        )
+        .orderBy("inner_id", "outer_id")
+    )

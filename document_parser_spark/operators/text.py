@@ -304,6 +304,55 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Java-regex \s equivalent as an explicit class: Python's \s is
 # unicode-wide (NBSP etc.) while Spark's and DuckDB's are ASCII — the
 # shingle UDF must split EXACTLY like words()/the SQL oracles do.
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact tf-idf keyword extraction: the top-``k`` most salient
+    terms per document by ``score = tf * ((N * scale) DIV df)`` — term
+    frequency times a floor-scaled inverse document frequency, all BIGINT
+    (the classic log-idf is float-unstable across engines; a scaled
+    reciprocal preserves the ranking semantics salience needs while keeping
+    the DuckDB oracle hash-exact).  Ties break by term ascending so the
+    rank is deterministic.
+
+    Scale shape: one word explode feeds BOTH the per-(doc, term) tf groupBy
+    and the per-term distinct-doc df groupBy (map-side combined); the corpus
+    size joins in as a broadcast 1-row aggregate (no driver-side count
+    action); the final per-doc top-k is a rank window partitioned by
+    doc_id — no pair joins anywhere, every shuffle keyed and combinable.
+    """
+    from pyspark.sql import Window
+
+    w = df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    total = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .join(F.broadcast(total))
+        .withColumn("score", F.expr(f"tf * ((n_docs * {int(scale)}) div df)"))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 _JAVA_WS_RX = None
 _SHINGLE_UDFS: dict = {}
 

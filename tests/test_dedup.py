@@ -441,3 +441,78 @@ def test_bigram_novelty_counts(spark):
         3: (2, 2, 1, 1),
         4: (2, 2, 0, 0),
     }
+
+
+def test_containment_pairs_detects_embedded_doc(spark):
+    """A short doc embedded verbatim in a longer page: 100% containment one
+    way, below-threshold the other; unrelated docs never pair; docs shorter
+    than the window are excluded from both sides."""
+    from document_parser_spark.operators.dedup import containment_pairs
+
+    inner = " ".join(f"w{i}" for i in range(12))  # 12 words -> 9 windows at k=4
+    outer = "pre1 pre2 " + inner + " post1 post2 post3 post4 post5 post6 post7 post8"
+    other = " ".join(f"x{i}" for i in range(20))
+    tiny = "a b"  # < window_k words: no windows
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other), (4, tiny)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["inner_id"], r["outer_id"]): (
+            r["shared_windows"],
+            r["inner_windows"],
+            r["containment_pct"],
+        )
+        for r in containment_pairs(df, window_k=4, min_pct=80).collect()
+    }
+    # doc 1 has 9 distinct 4-word windows, all present in doc 2
+    assert rows == {(1, 2): (9, 9, 100)}
+
+
+def test_containment_pairs_threshold_floor(spark):
+    """Floor-percent semantics: 7 of 8 windows shared = 87% (floor of 87.5),
+    kept at min_pct=80, dropped at min_pct=88."""
+    from document_parser_spark.operators.dedup import containment_pairs
+
+    inner = " ".join(f"w{i}" for i in range(11))      # 8 windows at k=4
+    # outer carries windows w0..w9 (7 of inner's 8) but not the last one
+    outer = " ".join(f"w{i}" for i in range(10)) + " z1 z2 z3 z4"
+    df = spark.createDataFrame([(1, inner), (2, outer)], "doc_id long, text string")
+    kept = containment_pairs(df, window_k=4, min_pct=80).collect()
+    pair = [(r["inner_id"], r["outer_id"], r["containment_pct"]) for r in kept]
+    assert (1, 2, 87) in pair
+    strict = containment_pairs(df, window_k=4, min_pct=88).collect()
+    assert all((r["inner_id"], r["outer_id"]) != (1, 2) for r in strict)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """score = tf * ((N*scale) div df): a rare term outranks a ubiquitous
+    one at equal tf; ties break by term ascending; k truncates per doc."""
+    from document_parser_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["word"], r["tf"], r["df"], r["score"], r["rank"])
+        for r in tfidf_topk(df, k=2, scale=100).collect()
+    ]
+    # N=3. doc 1: rare tf=1 df=1 score=300; common tf=2 df=3 score=2*100=200
+    assert rows[:2] == [(1, "rare", 1, 1, 300, 1), (1, "common", 2, 3, 200, 2)]
+    # docs 2/3: common (100) vs other df=2 score=150 -> other first
+    assert (2, "other", 1, 2, 150, 1) in rows and (2, "common", 1, 3, 100, 2) in rows
+
+
+def test_tfidf_topk_drops_wordless_docs(spark):
+    from document_parser_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    got = tfidf_topk(df, k=3).collect()
+    assert {r["doc_id"] for r in got} == {1}

@@ -180,3 +180,24 @@ def test_parse_html_document_still_green():
     kinds = [s["kind"] for s in doc["spans"]]
     assert "heading" in kinds and "table" in kinds
     assert doc["tables"] and doc["tables"][0]["num_rows"] == 2
+
+
+def test_fast_path_hypothesis_fuzz():
+    """Property fuzz over arbitrary unicode text mixed with markup-ish
+    fragments: whenever the fast path claims completion its event stream
+    must equal stdlib's, on input far outside the well-formed corpus."""
+    from hypothesis import given, settings, strategies as st
+
+    markup_bits = st.sampled_from(
+        ["<", ">", "</", "<!", "<!--", "-->", "&amp;", "&#65;", "&", "<div>",
+         "</div>", "<img src='x'>", "<script>", "</script>", "'", '"', "=",
+         "<p class=", "/>", "<br/>", " ", "\n", "\t"]
+    )
+    chunk = st.one_of(st.text(max_size=12), markup_bits)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(chunk, max_size=20))
+    def run(parts):
+        _events_match("".join(parts))
+
+    run()

@@ -235,3 +235,30 @@ def test_ngram_jaccard_persist_words_opt_in(spark):
     spark.catalog.clearCache()
     default = plan_of(ngram_jaccard_pairs(d, threshold_pct=50))
     assert "InMemoryTableScan" not in default, default
+
+
+def test_containment_pairs_equi_join_shaped(spark):
+    """Containment must stay blocked on the window hash: equi joins only —
+    no cartesian/nested-loop pair generation — with map-side partial aggs
+    on both the totals and the shared-count groupBys."""
+    from document_parser_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(containment_pairs(d))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × (totals, shared)
+
+
+def test_tfidf_topk_scalar_attach_is_constant_broadcast(spark):
+    """tf-idf's corpus size joins in as a broadcast 1-row aggregate (the
+    scalar-attach BroadcastNestedLoopJoin is expected and scale-safe: the
+    build side is a global count, constant size at any corpus scale); the
+    tf/df joins themselves must be hash joins with partial aggregation."""
+    from document_parser_spark.operators.text import tfidf_topk
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(tfidf_topk(d))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # the 1-row attach only
+    assert plan.count("HashAggregate") >= 4, plan
