@@ -86,8 +86,11 @@ def test_fast_path_on_html_fixtures():
         for d in fixture_documents()
         if looks_like_html(d["text"] if isinstance(d, dict) else d)
     ]
-    for t in html_fx:
-        _events_match(t)  # equality asserted whenever the fast path engages
+    assert html_fx, "no HTML fixtures found"
+    completed = sum(_events_match(t) for t in html_fx)
+    # the shipped HTML fixtures are well-formed: the fast path must engage
+    # on all of them (bailing would silently demote the bench win to theater)
+    assert completed == len(html_fx)
 
 
 # Constructs with nontrivial stdlib recovery: the fast path may bail (then
