@@ -1235,16 +1235,23 @@ FROM sh ORDER BY doc_id
 """
 
 
-def _q_bigram_novelty(spark, sf_dir):
-    """Corpus-statistics quality proxy (integer-exact CCNet-perplexity
-    analogue): per doc, total/distinct/corpus-common bigram counts — the
-    common set (document frequency ≥ 3) is the Zipf head, broadcast to a
-    map-side probe (decontaminate shape, zero corpus-side shuffle)."""
+def _q_quality_signals(spark, sf_dir):
+    """Corpus-quality signals, one per-doc row: bigram novelty (integer-exact
+    CCNet-perplexity analogue — the common set (document frequency ≥ 3) is
+    the Zipf head, broadcast to a map-side probe; decontaminate shape, zero
+    corpus-side shuffle) ∪ the fastText-style hashing-trick linear
+    classifier score (`text.hash_classifier_score`: unigram+bigram features
+    → 2^18 md5 buckets → integer weights, zero-shuffle Arrow map pass;
+    Joulin et al. 2016 architecture, the public LLM quality-filter family).
+    Inner-joined on doc_id — the ≥1-bigram grain, where the classifier's
+    map and join paths agree."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.bigram_novelty(d, common_df=3)
+    nov = text.bigram_novelty(d, common_df=3)
+    clf = text.hash_classifier_score(d)
+    return nov.join(clf, "doc_id").orderBy("doc_id")
 
 
-_SQL_BIGRAM_NOVELTY = rf"""
+_SQL_QUALITY_SIGNALS = rf"""
 WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
 bg AS (
   SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
@@ -1256,12 +1263,29 @@ common AS (
 probed AS (
   SELECT b.doc_id, b.bigram, (c.bigram IS NOT NULL) AS hit
   FROM bg b LEFT JOIN common c ON c.bigram = b.bigram
+),
+nov AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT bigram) AS n_distinct,
+         count(CASE WHEN hit THEN 1 END) AS n_common,
+         count(DISTINCT CASE WHEN hit THEN bigram END) AS n_common_distinct
+  FROM probed GROUP BY doc_id
+),
+feats AS (
+  SELECT doc_id, u.f FROM w, unnest(ws) AS u(f)
+  UNION ALL
+  SELECT doc_id, bigram AS f FROM bg
+),
+clf AS (
+  SELECT doc_id,
+         CAST(sum((((('0x' || substr(md5(f), 1, 8))::BIGINT % 262144)
+                    * 2654435761 + 97) % 21) - 10) AS BIGINT) AS clf_score,
+         count(*) AS n_feats
+  FROM feats GROUP BY doc_id
 )
-SELECT doc_id, count(*) AS n_bigrams,
-       count(DISTINCT bigram) AS n_distinct,
-       count(CASE WHEN hit THEN 1 END) AS n_common,
-       count(DISTINCT CASE WHEN hit THEN bigram END) AS n_common_distinct
-FROM probed GROUP BY doc_id ORDER BY doc_id
+SELECT n.doc_id, n.n_bigrams, n.n_distinct, n.n_common, n.n_common_distinct,
+       c.clf_score, c.n_feats, c.clf_score >= 0 AS clf_ok
+FROM nov n JOIN clf c USING (doc_id) ORDER BY n.doc_id
 """
 
 
@@ -2180,7 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_family": _q_minhash_family,
         "repeated_passages": _q_repeated_passages,
         "cluster_canonical": _q_cluster_canonical,
-        "bigram_novelty": _q_bigram_novelty,
+        "quality_signals": _q_quality_signals,
         "agg_shapes": _q_agg_shapes,
         "rollup_ops": _q_rollup_ops,
         "curation_assign": _q_curation_assign,
@@ -2245,7 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_family": _SQL_MINHASH_FAMILY,
         "repeated_passages": _SQL_REPEATED_PASSAGES,
         "cluster_canonical": _SQL_CLUSTER_CANONICAL,
-        "bigram_novelty": _SQL_BIGRAM_NOVELTY,
+        "quality_signals": _SQL_QUALITY_SIGNALS,
         "agg_shapes": _SQL_AGG_SHAPES,
         "rollup_ops": _SQL_ROLLUP_OPS,
         "curation_assign": _SQL_CURATION_ASSIGN,

@@ -148,7 +148,7 @@ QUERY_NAMES = [
     "repetition_stats",
     "scrub_pii",
     "fingerprints",
-    "bigram_novelty",
+    "quality_signals",
     "curate_corpus",
     "embedding_near_dup",
     "simhash_near_pairs",

@@ -233,6 +233,165 @@ def bigram_novelty(
     )
 
 
+#: Hashing-trick classifier dials (frozen — part of the oracle surface).
+#: 2^18 feature buckets; weights in [-10, 10] via a Knuth multiplicative mix.
+CLF_N_BUCKETS = 1 << 18
+_CLF_A = 2654435761  # Knuth's 2^32 / phi multiplier (public constant)
+_CLF_B = 97
+_CLF_M = 21
+_CLF_HALF = 10  # (M-1)/2 → weights centered on 0
+
+_CLF_UDF = None
+
+
+def _clf_bucket(x: Column) -> Column:
+    """Feature string → bucket id: first 8 md5 hex chars (32 bits, signed-
+    int64-portable per the repo-wide cap) mod CLF_N_BUCKETS."""
+    return (
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") % CLF_N_BUCKETS
+    )
+
+
+def _clf_weight_of_bucket(b: Column) -> Column:
+    return (b * F.lit(_CLF_A).cast("long") + _CLF_B) % _CLF_M - _CLF_HALF
+
+
+def synthetic_weight_table(spark, n_buckets: int = CLF_N_BUCKETS) -> DataFrame:
+    """The deterministic default weight table as a (bucket, weight) frame —
+    what a TRAINED fastText-style model would be loaded as.  2^18 rows ≈ 2 MB:
+    broadcast-sized at any corpus scale."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        _clf_weight_of_bucket(F.col("id")).cast("long").alias("weight"),
+    )
+
+
+def hash_classifier_score(
+    df: DataFrame, text_col: str = "text", weights: DataFrame | None = None
+) -> DataFrame:
+    """fastText-style hashing-trick linear classifier score per document —
+    the architecture of the public LLM-pipeline quality filters (Joulin et
+    al. 2016 "Bag of Tricks for Efficient Text Classification"; hashed
+    features per Weinberger et al. 2009; the Wikipedia-vs-CommonCrawl
+    quality-filter family): features are unigrams ∪ word bigrams, hashed
+    into ``CLF_N_BUCKETS`` buckets; ``clf_score = Σ_features
+    weight(bucket(f))`` counted WITH multiplicity; ``clf_ok = score ≥ 0``.
+    All integer arithmetic (weights are ints in [-10, 10]), so the DuckDB
+    oracle is hash-exact.
+
+    Two plan shapes:
+
+    - ``weights=None`` (default): the weight is a closed-form integer mix of
+      the bucket id (the deterministic stand-in for a trained model), so the
+      WHOLE score folds into one Arrow map pass — zero shuffle, zero join;
+      the scale shape a 100 TB curation scan wants.  A pure-Column twin
+      (``hash_classifier_score_column_twin``) is equality-gated in tests.
+    - ``weights=`` a (bucket, weight) frame: explode features → broadcast
+      hash join on bucket → one per-doc sum.  The weight table is ≤ 2 MB at
+      2^18 buckets — always broadcast, so the only shuffle is the final
+      doc_id aggregation.  This is the production seam for real trained
+      weights; with the synthetic table it is equality-tested against the
+      closed form.
+
+    Docs with zero words score 0 on the map path and DROP on the join path
+    (no feature rows) — the contract query consumes the ≥1-bigram grain
+    where both agree."""
+    t = F.col(text_col)
+    n = F.size(words(t))
+    n_feats = F.when(n >= 1, n * 2 - 1).otherwise(F.lit(0)).cast("long")
+    if weights is None:
+        return df.select(
+            "doc_id",
+            _clf_score_arrow(t).alias("clf_score"),
+            n_feats.alias("n_feats"),
+        ).withColumn("clf_ok", F.col("clf_score") >= 0)
+    feats = df.select(
+        "doc_id",
+        F.explode(
+            F.concat(words(t), word_shingles(t, 2))
+        ).alias("f"),
+    )
+    scored = feats.select("doc_id", _clf_bucket(F.col("f")).alias("bucket")).join(
+        F.broadcast(weights), "bucket", "left"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("weight", F.lit(0))).cast("long").alias("clf_score"),
+            F.count("*").alias("n_feats"),
+        )
+        .withColumn("clf_ok", F.col("clf_score") >= 0)
+    )
+
+
+def _clf_score_arrow(col: Column) -> Column:
+    """Arrow-batched score: one linear pass per doc with a batch-level
+    feature→weight cache (Zipfian token streams repeat heavily — the simhash
+    batch-cache precedent).  md5 of the UTF-8 bytes matches Spark/DuckDB
+    ``md5()`` exactly."""
+    global _CLF_UDF, _JAVA_WS_RX
+    if _JAVA_WS_RX is None:
+        import re as _re
+
+        _JAVA_WS_RX = _re.compile("[ \t\n\x0b\f\r]+")
+    if _CLF_UDF is None:
+        import hashlib
+
+        from pyspark.sql.types import LongType
+
+        nb, a, b, m, half = CLF_N_BUCKETS, _CLF_A, _CLF_B, _CLF_M, _CLF_HALF
+
+        @F.pandas_udf(LongType())
+        def clf_udf(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def wgt(f):
+                v = cache.get(f)
+                if v is None:
+                    h = int(hashlib.md5(f.encode("utf-8")).hexdigest()[:8], 16) % nb
+                    v = (h * a + b) % m - half
+                    cache[f] = v
+                return v
+
+            out = []
+            for t in texts:
+                ws = [x for x in _JAVA_WS_RX.split((t or "").strip(" ")) if x]
+                s = 0
+                for x in ws:
+                    s += wgt(x)
+                for i in range(len(ws) - 1):
+                    s += wgt(ws[i] + " " + ws[i + 1])
+                out.append(s)
+            return pd.Series(out, dtype="int64")
+
+        _CLF_UDF = clf_udf
+    return _CLF_UDF(col)
+
+
+def hash_classifier_score_column_twin(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Pure-Column closed-form twin (codegen md5 + higher-order aggregate) —
+    kept as the equality cross-check for the Arrow path, per the repo
+    convention (interpreted HOF lambdas cost ~µs/element; the Arrow pass is
+    the shipped default)."""
+    t = F.col(text_col)
+    w = words(t)
+    n = F.size(w)
+    feats = F.concat(w, word_shingles_column_twin(t, 2))
+    score = F.aggregate(
+        F.transform(feats, lambda x: _clf_weight_of_bucket(_clf_bucket(x))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_feats = F.when(n >= 1, n * 2 - 1).otherwise(F.lit(0)).cast("long")
+    return df.select(
+        "doc_id",
+        score.alias("clf_score"),
+        n_feats.alias("n_feats"),
+    ).withColumn("clf_ok", F.col("clf_score") >= 0)
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: top-word fraction and
     top-bigram fraction as exact integers (numerator/denominator pairs — the

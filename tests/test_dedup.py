@@ -443,6 +443,45 @@ def test_bigram_novelty_counts(spark):
     }
 
 
+def test_hash_classifier_paths_agree(spark):
+    """Arrow map pass == pure-Column twin == broadcast weight-table join
+    (join path drops zero-feature docs by construction), and the score is
+    the hand-computed md5-bucket arithmetic."""
+    import hashlib
+
+    from document_parser_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),                        # no words: map score 0, join drops
+            (3, "one"),                     # single unigram feature
+            (4, "  spaced   out   words  "),
+            (5, "naïve café résumé naïve café"),  # UTF-8 md5 agreement
+        ],
+        "doc_id long, text string",
+    )
+    arrow = {
+        r["doc_id"]: (r["clf_score"], r["n_feats"], r["clf_ok"])
+        for r in T.hash_classifier_score(df).collect()
+    }
+    twin = {
+        r["doc_id"]: (r["clf_score"], r["n_feats"], r["clf_ok"])
+        for r in T.hash_classifier_score_column_twin(df).collect()
+    }
+    assert arrow == twin
+    joined = {
+        r["doc_id"]: (r["clf_score"], r["n_feats"], r["clf_ok"])
+        for r in T.hash_classifier_score(
+            df, weights=T.synthetic_weight_table(spark)
+        ).collect()
+    }
+    assert joined == {k: v for k, v in arrow.items() if k != 2}
+    assert arrow[2] == (0, 0, True)
+    h = int(hashlib.md5(b"one").hexdigest()[:8], 16) % T.CLF_N_BUCKETS
+    assert arrow[3] == ((h * 2654435761 + 97) % 21 - 10, 1, arrow[3][0] >= 0)
+
+
 def test_containment_pairs_detects_embedded_doc(spark):
     """A short doc embedded verbatim in a longer page: 100% containment one
     way, below-threshold the other; unrelated docs never pair; docs shorter
