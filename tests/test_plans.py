@@ -250,6 +250,28 @@ def test_containment_pairs_equi_join_shaped(spark):
     assert plan.count("HashAggregate") >= 4, plan  # partial+final × (totals, shared)
 
 
+def test_hash_classifier_default_is_map_only(spark):
+    """The default (closed-form-weights) classifier score is ONE Arrow map
+    pass: no Exchange, no join anywhere in the plan — the zero-shuffle shape
+    the docstring promises for a 100 TB curation scan.  The weight-table
+    variant is allowed exactly one broadcast hash join plus the per-doc
+    aggregation shuffle, and its weight side must be broadcast, not shuffled."""
+    from document_parser_spark.operators.text import (
+        hash_classifier_score,
+        synthetic_weight_table,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(hash_classifier_score(d))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    joined = plan_of(hash_classifier_score(d, weights=synthetic_weight_table(spark)))
+    assert "BroadcastHashJoin" in joined, joined
+    assert "SortMergeJoin" not in joined and "CartesianProduct" not in joined, joined
+
+
 def test_tfidf_topk_scalar_attach_is_constant_broadcast(spark):
     """tf-idf's corpus size joins in as a broadcast 1-row aggregate (the
     scalar-attach BroadcastNestedLoopJoin is expected and scale-safe: the
