@@ -1165,10 +1165,25 @@ ORDER BY d.doc_id
 """
 
 
-def _q_scrub_pii(spark, sf_dir):
-    """PII masking over probe text (the corpus carries no emails/URLs, so a
-    raw-text scrub would be green-by-vacuity — probes are injected
-    deterministically from doc_id, mirrored exactly in the oracle)."""
+def _q_scrub_fingerprints(spark, sf_dir):
+    """PII masking ∪ document fingerprints in one per-doc row (round-4
+    session-3 registry fold of scrub_pii + fingerprints for the 50-row
+    driver window; both are map passes over the documents table, joined on
+    doc_id so both semantics sit in the one hash).  The scrub side masks
+    over probe text (the corpus carries no emails/URLs, so a raw-text scrub
+    would be green-by-vacuity — probes are injected deterministically from
+    doc_id, mirrored exactly in the oracle); the fingerprint side hashes the
+    RAW text (md5 + 5-word min-shingle)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _scrub_probe_frame(spark, sf_dir)
+        .join(text.fingerprints(d, shingle_words=5), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _scrub_probe_frame(spark, sf_dir):
+    """scrub_pii over the deterministic probe text (see _q_scrub_fingerprints)."""
     d = load_table(spark, sf_dir, "documents")
     probe = (
         F.when(
@@ -1191,10 +1206,10 @@ def _q_scrub_pii(spark, sf_dir):
         )
         .otherwise(F.col("text"))
     )
-    return text.scrub_pii(d.select("doc_id", probe.alias("text"))).orderBy("doc_id")
+    return text.scrub_pii(d.select("doc_id", probe.alias("text")))
 
 
-_SQL_SCRUB_PII = r"""
+_SQL_SCRUB_FINGERPRINTS = rf"""
 WITH probes AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0
@@ -1204,22 +1219,16 @@ WITH probes AS (
               ELSE text END AS text
   FROM documents
 )
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
-FROM probes ORDER BY doc_id
-"""
-
-
-def _q_fingerprints(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.fingerprints(d, shingle_words=5).orderBy("doc_id")
-
-
-_SQL_FINGERPRINTS = rf"""
-WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents),
+,
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+         regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS scrubbed
+  FROM probes
+),
+w AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(ws) < 5 THEN []
@@ -1227,11 +1236,49 @@ sh AS (
                                   i -> array_to_string(ws[i:i+4], ' ')) END AS shingles,
          text
   FROM w
+),
+fp AS (
+  SELECT doc_id, md5(text) AS md5_full, substr(md5(text), 1, 8) AS fp8,
+         list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_md5,
+         len(shingles) AS n_shingles
+  FROM sh
 )
-SELECT doc_id, md5(text) AS md5_full, substr(md5(text), 1, 8) AS fp8,
-       list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_md5,
-       len(shingles) AS n_shingles
-FROM sh ORDER BY doc_id
+SELECT s.doc_id, s.n_urls, s.n_emails, s.scrubbed,
+       f.md5_full, f.fp8, f.min_shingle_md5, f.n_shingles
+FROM scrub s JOIN fp f USING (doc_id) ORDER BY s.doc_id
+"""
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (`curation.chunk_documents`): overlapping
+    64-word windows at stride 48 — the LLM-pretraining chunk shape (16-word
+    overlap so no boundary context is lost).  Map-only plan: one Arrow pass
+    builds the chunk array per doc, explode flattens; zero shuffle.  The
+    hash carries chunk_md5 (md5 of the exact chunk text) so chunk CONTENT,
+    not just geometry, is attested."""
+    from document_parser_spark.operators.curation import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = chunk_documents(d, max_words=64, stride=48)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "first_word",
+        "n_words",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_SQL_DOC_CHUNKS = rf"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, g.s
+  FROM w, unnest(generate_series(0, len(ws) - 1, 48)) AS g(s)
+)
+SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s AS BIGINT) AS first_word,
+       CAST(least(64, len(ws) - s) AS BIGINT) AS n_words,
+       md5(array_to_string(ws[s + 1:s + 64], ' ')) AS chunk_md5
+FROM st ORDER BY doc_id, chunk_id
 """
 
 
@@ -2196,15 +2243,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_containment + tfidf_topk:
     #   embedding_topk + ann_lsh_topk          -> ann_baselines  (tagged union)
     #   minhash_pairs  + minhash_incremental   -> minhash_family (tagged union)
+    # round-4 session 3: scrub_pii + fingerprints -> scrub_fingerprints
+    # (doc_id join) made room for doc_chunks; bigram_novelty widened into
+    # quality_signals (same slot, + the hash-classifier score).
+    # round-4 session-3: scrub_pii + fingerprints fold into scrub_fingerprints
+    # (both per-doc map passes, joined on doc_id) to make room for doc_chunks.
     return {
         # never-driver-attested — keep first
+        "doc_chunks": _q_doc_chunks,
+        "quality_signals": _q_quality_signals,
+        "scrub_fingerprints": _q_scrub_fingerprints,
         "doc_containment": _q_doc_containment,
         "tfidf_topk": _q_tfidf_topk,
         "ann_baselines": _q_ann_baselines,
         "minhash_family": _q_minhash_family,
         "repeated_passages": _q_repeated_passages,
         "cluster_canonical": _q_cluster_canonical,
-        "quality_signals": _q_quality_signals,
         "agg_shapes": _q_agg_shapes,
         "rollup_ops": _q_rollup_ops,
         "curation_assign": _q_curation_assign,
@@ -2248,11 +2302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "repetition_stats": _q_repetition_stats,
-        "scrub_pii": _q_scrub_pii,
         "gopher_gate": _q_gopher_gate,
         "decontaminate": _q_decontaminate,
         "repeated_spans": _q_repeated_spans,
-        "fingerprints": _q_fingerprints,
         # dedup (near-pair variants)
         "simhash_near_pairs": _q_simhash_near,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2278,6 +2330,8 @@ def oracle_sql() -> dict[str, str]:
         "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
         "filter_modes": _SQL_FILTER_MODES,
         "fuzzy_pairs": _SQL_FUZZY_PAIRS,
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "scrub_fingerprints": _SQL_SCRUB_FINGERPRINTS,
         "numeric_predicate": _SQL_NUMERIC_PREDICATE,
         "units_predicate": _SQL_UNITS_PREDICATE,
         "tpch_q1": _SQL_TPCH_Q1,
@@ -2298,11 +2352,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _SQL_TEXT_STATS,
         "language_id": _SQL_LANGUAGE_ID,
         "repetition_stats": _SQL_REPETITION_STATS,
-        "scrub_pii": _SQL_SCRUB_PII,
         "gopher_gate": _SQL_GOPHER_GATE,
         "decontaminate": _SQL_DECONTAMINATE,
         "repeated_spans": _SQL_REPEATED_SPANS,
-        "fingerprints": _SQL_FINGERPRINTS,
         "ivf_topk": _SQL_IVF_TOPK,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         # parse surface vs golden-parquet kernel oracle (scripts/build_golden.py)

@@ -146,9 +146,9 @@ QUERY_NAMES = [
     "text_stats",
     "language_id",
     "repetition_stats",
-    "scrub_pii",
-    "fingerprints",
+    "scrub_fingerprints",
     "quality_signals",
+    "doc_chunks",
     "curate_corpus",
     "embedding_near_dup",
     "simhash_near_pairs",
@@ -343,7 +343,12 @@ def scaling_study(
 #: Pair-emitting dedup queries are deliberately excluded: on the synthetic
 #: corpus their OUTPUT grows superlinearly with doc count (near-dup density),
 #: so "same work per doc at both cluster sizes" would not hold.
-SCALING_QUERY_SUBSET = ["fingerprints", "simhash_docs", "text_stats", "repetition_stats"]
+SCALING_QUERY_SUBSET = [
+    "scrub_fingerprints",
+    "simhash_docs",
+    "text_stats",
+    "repetition_stats",
+]
 
 
 #: documents for the query scaling corpus — sf0.1's 5k docs can't feed 16

@@ -10,6 +10,7 @@ What's-wrong #7)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -304,6 +305,118 @@ def repeated_ngram_spans(
         sh.join(rep, "window_md5")
         .select("doc_id", "pos", "window_md5")
         .orderBy("doc_id", "pos", "window_md5")
+    )
+
+
+_CHUNK_UDFS: dict = {}
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking — the training-prep step that splits each
+    document's word stream into model-window-sized pieces: chunk ``i`` covers
+    words ``[i·stride, min(i·stride + max_words, n))`` (0-based).  The
+    default ``stride = max_words`` gives disjoint chunks; ``stride <
+    max_words`` gives the overlapping-window shape LLM pretraining uses so
+    no context is lost at chunk boundaries.  Starts run while ``start < n``,
+    so every word lands in ≥1 chunk and zero-word docs emit nothing.
+
+    Output: one row per (doc, chunk): ``chunk_id`` (= start div stride),
+    ``first_word`` (0-based), ``n_words`` (≤ max_words), ``chunk_text``.
+    All integer arithmetic — oracle-exact.
+
+    Scale shape: map-only — one Arrow pass builds the chunk array per doc
+    (a pure-Column ``transform(sequence(...), slice(...))`` twin exists for
+    cross-checking, but HOF ``slice`` re-evaluates the word split per chunk:
+    O(n²/stride) per doc — the word_shingles precedent) and ``explode``
+    flattens it; no shuffle, no join, and chunk rows inherit the input
+    partitioning (downstream shard packing does its own keyed cumsum)."""
+    if stride is None:
+        stride = max_words
+    if stride < 1 or max_words < 1:
+        raise ValueError("max_words and stride must be >= 1")
+    key = (max_words, stride)
+    if key not in _CHUNK_UDFS:
+        import re as _re
+
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        ws_rx = _re.compile("[ \t\n\x0b\f\r]+")
+        mw, st = max_words, stride
+
+        @F.pandas_udf(
+            ArrayType(
+                StructType(
+                    [
+                        StructField("chunk_id", LongType()),
+                        StructField("first_word", LongType()),
+                        StructField("n_words", LongType()),
+                        StructField("chunk_text", StringType()),
+                    ]
+                )
+            )
+        )
+        def chunk_udf(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                ws = [x for x in ws_rx.split((t or "").strip(" ")) if x]
+                n = len(ws)
+                rows = []
+                for i, s in enumerate(range(0, n, st)):
+                    piece = ws[s : s + mw]
+                    rows.append((i, s, len(piece), " ".join(piece)))
+                out.append(rows)
+            return pd.Series(out)
+
+        _CHUNK_UDFS[key] = chunk_udf
+    return (
+        docs.select(
+            "doc_id", F.explode(_CHUNK_UDFS[key](F.col(text_col))).alias("c")
+        )
+        .select("doc_id", "c.chunk_id", "c.first_word", "c.n_words", "c.chunk_text")
+    )
+
+
+def chunk_documents_column_twin(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Pure-Column twin of ``chunk_documents`` (equality cross-check only:
+    the HOF slice re-evaluates the word split per chunk — quadratic on
+    pathological docs)."""
+    from .text import words
+
+    if stride is None:
+        stride = max_words
+    w = words(F.col(text_col))
+    n = F.size(w)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.floor(s / stride).cast("long").alias("chunk_id"),
+            s.cast("long").alias("first_word"),
+            F.least(F.lit(max_words), n - s).cast("long").alias("n_words"),
+            F.array_join(F.slice(w, s + 1, max_words), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.first_word", "c.n_words", "c.chunk_text")
     )
 
 

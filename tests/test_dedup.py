@@ -443,6 +443,49 @@ def test_bigram_novelty_counts(spark):
     }
 
 
+def test_chunk_documents_overlap_and_twin(spark):
+    """Chunk geometry (overlap, tail truncation, empty-doc drop) is exact,
+    and the Arrow pass equals the pure-Column twin across stride configs."""
+    from document_parser_spark.operators.curation import (
+        chunk_documents,
+        chunk_documents_column_twin,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),
+            (2, ""),          # zero words -> no chunks
+            (3, "a b c"),     # shorter than one window -> one chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["first_word"], r["n_words"], r["chunk_text"])
+        for r in chunk_documents(df, max_words=64, stride=48).collect()
+    }
+    # doc 1: starts at 0,48,96,144; windows truncate at word 150
+    assert {k: v[:2] for k, v in got.items()} == {
+        (1, 0): (0, 64),
+        (1, 1): (48, 64),
+        (1, 2): (96, 54),
+        (1, 3): (144, 6),
+        (3, 0): (0, 3),
+    }
+    assert got[(1, 3)][2] == "w144 w145 w146 w147 w148 w149"
+    assert got[(3, 0)][2] == "a b c"
+    for mw, st in [(64, 48), (10, 10), (5, 2)]:
+        a = sorted(
+            tuple(r) for r in chunk_documents(df, max_words=mw, stride=st).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in chunk_documents_column_twin(
+                df, max_words=mw, stride=st
+            ).collect()
+        )
+        assert a == b, (mw, st)
+
+
 def test_hash_classifier_paths_agree(spark):
     """Arrow map pass == pure-Column twin == broadcast weight-table join
     (join path drops zero-feature docs by construction), and the score is

@@ -272,6 +272,19 @@ def test_hash_classifier_default_is_map_only(spark):
     assert "SortMergeJoin" not in joined and "CartesianProduct" not in joined, joined
 
 
+def test_doc_chunks_is_map_only(spark):
+    """Context-window chunking is one Arrow pass + explode: no Exchange, no
+    join anywhere before the contract query's final orderBy."""
+    from document_parser_spark.operators.curation import chunk_documents
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(chunk_documents(d, max_words=64, stride=48))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "Generate" in plan, plan  # the explode
+
+
 def test_tfidf_topk_scalar_attach_is_constant_broadcast(spark):
     """tf-idf's corpus size joins in as a broadcast 1-row aggregate (the
     scalar-attach BroadcastNestedLoopJoin is expected and scale-safe: the
