@@ -202,32 +202,41 @@ def bigram_novelty(
     n_common_distinct), so the filter ratio ``100·n_common ≥ pct·n_bigrams``
     is bit-identical in any engine.
 
-    Scale shape: one bigram explode → partial-aggregated DOCUMENT-frequency
-    count → the common set (df ≥ ``common_df``) is the Zipf HEAD — few
-    distinct TYPES even at corpus scale — so it BROADCASTS to a map-side
-    probe of the bigram stream (the decontaminate shape: zero corpus-side
-    shuffle beyond the one doc_id aggregation).  Docs with fewer than two
+    Scale shape: one bigram explode → ONE (doc, bigram) pre-aggregation that
+    everything downstream reuses: document frequency is a plain ``count``
+    over that distinct grain (no ``countDistinct``), the common set (df ≥
+    ``common_df``) is the Zipf HEAD — few distinct TYPES even at corpus
+    scale — so it BROADCASTS to a map-side probe of the (doc, bigram) pairs,
+    and the per-doc rollup needs no distinct aggregates at all (``n_distinct``
+    = row count at the pre-aggregated grain).  The naive formulation — two
+    ``countDistinct`` in the doc rollup — compiles to an Expand that triples
+    the exploded bigram stream before partial aggregation; this shape
+    shuffles the distinct pairs once instead.  Docs with fewer than two
     words have no bigrams and drop out, exactly like the SQL mirror's
     generate_series producing no rows."""
-    bg = df.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+    per = (
+        df.select(
+            "doc_id", F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
     )
     common = (
-        bg.groupBy("bigram")
-        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        per.groupBy("bigram")
+        .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") >= common_df)
         .select("bigram", F.lit(1).alias("_common"))
     )
-    probed = bg.join(F.broadcast(common), "bigram", "left")
+    probed = per.join(F.broadcast(common), "bigram", "left")
     return (
         probed.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.countDistinct("bigram").alias("n_distinct"),
-            F.count(F.when(F.col("_common") == 1, 1)).alias("n_common"),
-            F.countDistinct(
-                F.when(F.col("_common") == 1, F.col("bigram"))
-            ).alias("n_common_distinct"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("_common") == 1, F.col("cnt")).otherwise(0)).alias(
+                "n_common"
+            ),
+            F.count(F.when(F.col("_common") == 1, 1)).alias("n_common_distinct"),
         )
         .orderBy("doc_id")
     )

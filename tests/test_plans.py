@@ -272,6 +272,18 @@ def test_hash_classifier_default_is_map_only(spark):
     assert "SortMergeJoin" not in joined and "CartesianProduct" not in joined, joined
 
 
+def test_bigram_novelty_no_expand(spark):
+    """The novelty rollup must pre-aggregate to the (doc, bigram) grain and
+    avoid distinct aggregates: a countDistinct formulation compiles to an
+    Expand that triples the exploded bigram stream before partial agg."""
+    from document_parser_spark.operators.text import bigram_novelty
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(bigram_novelty(d, common_df=3))
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the common-set probe
+
+
 def test_doc_chunks_is_map_only(spark):
     """Context-window chunking is one Arrow pass + explode: no Exchange, no
     join anywhere before the contract query's final orderBy."""
