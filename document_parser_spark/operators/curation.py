@@ -214,7 +214,11 @@ def decontamination_overlap(
         thousands-to-millions of shingles, tiny next to a 100 TB corpus, so
         the contamination probe is a map-side broadcast hash join per corpus
         shingle; the corpus is scanned ONCE, and the only corpus-sized
-        shuffle is the per-doc distinct-count aggregation;
+        shuffle is the (doc, shingle) dedup — the per-doc rollup then counts
+        plain rows at that distinct grain (a countDistinct formulation
+        compiles to an Expand that doubles the shingle stream before partial
+        aggregation, and would probe the broadcast per occurrence instead of
+        per distinct pair);
       * training docs already in the benchmark are excluded by anti-join on
         doc_id (they are contaminated by definition, not findings);
       * output is integer-exact: per flagged doc, the count of its DISTINCT
@@ -234,21 +238,20 @@ def decontamination_overlap(
         .withColumn("_hit", F.lit(1))
     )
     bench_ids = benchmark.select("doc_id").distinct()
-    probed = (
+    per = (
         docs.join(bench_ids, "doc_id", "left_anti")
         .select(
             "doc_id",
             F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
         )
-        .join(F.broadcast(bench_sh), "shingle", "left")
+        .distinct()
     )
+    probed = per.join(F.broadcast(bench_sh), "shingle", "left")
     return (
         probed.groupBy("doc_id")
         .agg(
-            F.countDistinct("shingle").alias("n_shingles"),
-            F.countDistinct(
-                F.when(F.col("_hit") == 1, F.col("shingle"))
-            ).alias("n_overlap"),
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("_hit") == 1, 1)).alias("n_overlap"),
         )
         .filter(F.col("n_overlap") > 0)
         .select("doc_id", "n_shingles", "n_overlap")

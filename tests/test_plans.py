@@ -137,6 +137,7 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Expand" not in plan, plan  # rollup counts at the distinct grain
 
 
 def test_ngram_jaccard_all_equi_joins(spark):
