@@ -319,6 +319,7 @@ def chunk_documents(
     text_col: str = "text",
     max_words: int = 64,
     stride: int | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Context-window chunking — the training-prep step that splits each
     document's word stream into model-window-sized pieces: chunk ``i`` covers
@@ -329,8 +330,10 @@ def chunk_documents(
     so every word lands in ≥1 chunk and zero-word docs emit nothing.
 
     Output: one row per (doc, chunk): ``chunk_id`` (= start div stride),
-    ``first_word`` (0-based), ``n_words`` (≤ max_words), ``chunk_text``.
-    All integer arithmetic — oracle-exact.
+    ``first_word`` (0-based), ``n_words`` (≤ max_words), ``chunk_text``,
+    plus any ``passthrough`` input columns carried onto every chunk row
+    (cheaper than a join back for partition keys etc.).  All integer
+    arithmetic — oracle-exact.
 
     Scale shape: map-only — one Arrow pass builds the chunk array per doc
     (a pure-Column ``transform(sequence(...), slice(...))`` twin exists for
@@ -384,9 +387,18 @@ def chunk_documents(
         _CHUNK_UDFS[key] = chunk_udf
     return (
         docs.select(
-            "doc_id", F.explode(_CHUNK_UDFS[key](F.col(text_col))).alias("c")
+            "doc_id",
+            *passthrough,
+            F.explode(_CHUNK_UDFS[key](F.col(text_col))).alias("c"),
         )
-        .select("doc_id", "c.chunk_id", "c.first_word", "c.n_words", "c.chunk_text")
+        .select(
+            "doc_id",
+            *passthrough,
+            "c.chunk_id",
+            "c.first_word",
+            "c.n_words",
+            "c.chunk_text",
+        )
     )
 
 

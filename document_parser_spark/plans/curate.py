@@ -1,0 +1,233 @@
+"""Resumable end-to-end curation pipeline (the training-data twin of
+plans/resume.py's extraction job): exact-dedup canonical election → quality
+gate (heuristic signals + the hashing-trick classifier) → language keep →
+context-window chunking → partitioned chunk output + per-bucket lineage.
+
+The one design decision that makes this resume-safe AND globally correct is
+the bucket key: documents bucket by CONTENT hash (``pmod(xxhash64(md5(text)),
+B)``), not by doc_id — every exact copy of a text lands in the same bucket,
+so the per-bucket canonical election (min doc_id per md5 group) is the
+GLOBAL election, bucket by bucket, with no cross-bucket state.  Buckets are
+then independently processable, skippable on resume (metrics manifest per
+(run_id, bucket), dynamic-partition-overwrite — retries replace, never
+duplicate), and uniformly sized at any corpus scale (content hashes don't
+skew).  Near-dup dedup stays the dedup_job's incremental-manifest domain;
+this pipeline is the exact-dedup + gate + chunk pass a shard runs first.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .resume import completed_buckets, write_metrics, write_partitioned
+
+DEFAULT_BUCKETS = 64
+
+
+def with_content_bucket(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Content-derived stable bucket: identical texts → identical bucket, on
+    any run at any cluster size (never placement-dependent)."""
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.md5("text")), F.lit(num_buckets)).cast("int"),
+    )
+
+
+def chunk_stats_closed_form(
+    n: "F.Column", max_words: int, stride: int
+) -> "F.Column":
+    """struct<n_chunks, words_out> for a doc of ``n`` words, WITHOUT
+    materializing chunk rows (the metrics path must not re-run the chunk
+    pass): starts are 0, stride, … < n, so ``n_chunks = (n-1) div stride + 1``
+    (n ≥ 1); a start s emits ``min(max_words, n - s)`` words, of which the
+    first ``f`` starts (those with ``n - s ≥ max_words``) emit full windows:
+    ``words_out = f·max_words + (q-f)·n - stride·(f + … + (q-1))``.  Exact
+    integers — equality-tested against the materialized chunk output."""
+    q = F.when(n >= 1, (n - 1) / stride + 1).otherwise(F.lit(0)).cast("long")
+    f_raw = F.when(
+        n >= max_words, (n - max_words) / stride + 1
+    ).otherwise(F.lit(0)).cast("long")
+    f = F.least(f_raw, q)
+    tail = (q - f) * n.cast("long") - F.lit(stride) * (
+        (q - 1 + f) * (q - f) / 2
+    ).cast("long")
+    return F.struct(
+        q.alias("n_chunks"),
+        (f * max_words + tail).alias("words_out"),
+    )
+
+
+def curation_metrics(
+    survivors: DataFrame,
+    per_bucket_in: DataFrame,
+    run_id: str,
+    wall_ms: int,
+    max_words: int,
+    stride: int,
+) -> DataFrame:
+    """One lineage row per (run_id, bucket): input/canonical/kept doc counts
+    and chunk/word output totals.  ``docs_in``/``docs_canonical`` come from
+    the pre-gate frame so the gate's drop rate is auditable per bucket;
+    chunk totals come from the closed form over doc word counts (no second
+    chunk pass)."""
+    st = survivors.withColumn(
+        "_cs", chunk_stats_closed_form(F.col("n_words"), max_words, stride)
+    )
+    out = st.groupBy("bucket").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("_cs.n_chunks").alias("chunks_out"),
+        F.sum("_cs.words_out").cast("long").alias("words_out"),
+    )
+    return (
+        per_bucket_in.join(out, "bucket", "left")
+        .select(
+            F.col("bucket").alias("partition_key"),
+            F.lit(run_id).alias("run_id"),
+            "docs_in",
+            "docs_canonical",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce("chunks_out", F.lit(0)).cast("long").alias("chunks_out"),
+            F.coalesce("words_out", F.lit(0)).cast("long").alias("words_out"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+    )
+
+
+def run_curation_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+    max_buckets_this_run: int | None = None,
+    keep_langs: tuple = ("en",),
+    max_words: int = 512,
+    stride: int | None = None,
+    clf_min: int | None = None,
+) -> dict:
+    """Run the curation pipeline over ``docs`` (doc_id, text) with bucket-
+    level checkpoint-resume.  Returns observability counters.
+
+    Stage shapes (the 100 TB audit): canonical election is ONE window over
+    md5(text) — co-partitioned with the bucket key by construction, so at
+    scale the exchange is the bucket partitioning itself; the gate is a
+    map-only projection (quality heuristics + the zero-shuffle Arrow
+    classifier + language argmax, no joins); chunking is one Arrow pass +
+    explode; the only other shuffles are the chunk write's cluster-by-bucket
+    and the two tiny per-bucket metric aggregations.
+    ``max_buckets_this_run`` simulates a crash for resume tests.
+
+    ``clf_min`` arms the hashing-trick classifier gate (keep iff score ≥
+    clf_min).  It is OFF by default: without trained weights the synthetic
+    stand-in scores are content-hash noise, and gating on them silently
+    halves the corpus — arm it only when production weights back the
+    score (the text.hash_classifier_score weight-table seam)."""
+    from ..operators.curation import chunk_documents
+    from ..operators.text import _clf_score_arrow, language_best_struct, words
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    t0 = time.monotonic()
+    bucketed = with_content_bucket(docs.select("doc_id", "text"), num_buckets)
+
+    done = completed_buckets(spark, metrics_dir, run_id)
+    todo = (
+        bucketed.filter(~F.col("bucket").isin(sorted(done))) if done else bucketed
+    )
+    if max_buckets_this_run is not None:
+        remaining = sorted(
+            r["bucket"] for r in todo.select("bucket").distinct().collect()
+        )[:max_buckets_this_run]
+        todo = todo.filter(F.col("bucket").isin(remaining))
+
+    # canonical election: global because every md5 group is bucket-local
+    w = Window.partitionBy(F.md5("text"))
+    canonical = (
+        todo.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+
+    # Expand-free: (bucket, md5) grain first, then plain counts per bucket
+    per_bucket_in = (
+        todo.groupBy("bucket", F.md5("text").alias("_md5"))
+        .agg(F.count("*").alias("_copies"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_copies").alias("docs_in"),
+            F.count("*").alias("docs_canonical"),
+        )
+    )
+
+    # map-only gate: heuristics + classifier + language, one projection each
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    staged = (
+        canonical.withColumn("n_words", F.size(words(t)).cast("long"))
+        .withColumn("_best", language_best_struct(t))
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("_best.hits") > 0, F.col("_best.lang")).otherwise(
+                F.lit("und")
+            ),
+        )
+    )
+    quality_ok = (
+        (F.col("n_words") >= 5)
+        & (n_chars >= 20)
+        & (n_punct * 2 < F.greatest(n_chars, F.lit(1)))
+    )
+    gated = staged.filter(quality_ok).filter(F.col("lang_pred").isin(*keep_langs))
+    if clf_min is not None:
+        gated = gated.withColumn("_clf", _clf_score_arrow(t)).filter(
+            F.col("_clf") >= clf_min
+        )
+    survivors = gated.select("doc_id", "text", "bucket", "n_words").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # consumed twice: the chunk write and the metrics rollup
+
+    kept = chunk_documents(
+        survivors, max_words=max_words, stride=stride, passthrough=("bucket",)
+    )
+    write_partitioned(
+        kept.select(
+            "doc_id", "chunk_id", "first_word", "n_words", "chunk_text", "bucket"
+        ),
+        chunks_dir,
+    )
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = curation_metrics(
+        survivors, per_bucket_in, run_id, wall_ms, max_words, stride or max_words
+    )
+    write_metrics(metrics, metrics_dir)
+    survivors.unpersist()
+
+    # stats from the WRITTEN manifest (this run's rows: just-done ∪ resumed),
+    # not the live `metrics` frame — aggregating that would re-execute the
+    # whole pipeline a second time just to print counters
+    agg = (
+        spark.read.parquet(metrics_dir)
+        .filter(F.col("run_id") == run_id)
+        .agg(
+            F.sum("docs_in").alias("docs_in"),
+            F.sum("docs_kept").alias("docs_kept"),
+            F.sum("chunks_out").alias("chunks_out"),
+        )
+        .collect()[0]
+    )
+    return {
+        "run_id": run_id,
+        "buckets_done_before": len(done),
+        "docs_in": int(agg["docs_in"] or 0),
+        "docs_kept": int(agg["docs_kept"] or 0),
+        "chunks_out": int(agg["chunks_out"] or 0),
+        "wall_ms": wall_ms,
+    }

@@ -1,0 +1,119 @@
+"""Resumable training-data curation job — the spark-submit entry point for
+the exact-dedup → quality-gate → chunk pipeline (plans/curate.py).
+
+    spark-submit --py-files dist/document_parser_spark.zip \
+        jobs/curate_job.py \
+        --input /data/documents --output /data/curated --run-id curate-01 \
+        --buckets 64 --max-words 512 --stride 384
+
+``--input`` is either a parquet path holding a flat (doc_id, text, …) table
+or ``synthetic:N`` for a deterministic seeded corpus (generated on the
+executors; every 10th doc duplicates its predecessor's text so the
+canonical election provably drops rows).  Idempotent per (run_id, bucket):
+re-submission resumes from the metrics manifest — completed buckets are
+skipped, partial buckets are replaced via dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+_EN_PREAMBLE = (
+    "This is the summary of what was done and the findings that were "
+    "reported for the study with all of its parts.\n\n"
+)
+
+
+def synthetic_flat_df(spark, n_docs: int):
+    """Deterministic flat (doc_id, text) corpus built executor-side from the
+    shared synthetic generator; every 10th doc (doc_id % 10 == 9) carries its
+    predecessor's text verbatim — planted exact duplicates.  The raw
+    synthetic vocabulary carries no stopword signal (language-ID → "und" on
+    every doc, which would make the job's language gate vacuously drop 100%),
+    so docs whose SOURCE id % 4 != 3 get a fixed English-signal preamble —
+    keyed on the source id so planted dup pairs stay byte-identical — leaving
+    a deterministic ~25% for the gate to demonstrably cut."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from document_parser_spark.corpus import synthesize_doc
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                src = i - 1 if (i % 10 == 9 and i > 0) else i
+                pre = _EN_PREAMBLE if src % 4 != 3 else ""
+                rows.append(
+                    {"doc_id": i, "text": pre + synthesize_doc(src)["text"]}
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, "doc_id long, text string")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--run-id", required=True)
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--keep-langs", default="en", help="comma-separated")
+    parser.add_argument("--max-words", type=int, default=512)
+    parser.add_argument("--stride", type=int, default=None)
+    parser.add_argument(
+        "--max-buckets-this-run", type=int, default=None,
+        help="crash simulation: process only the first N unfinished buckets",
+    )
+    parser.add_argument(
+        "--clf-min", type=int, default=None,
+        help="arm the classifier gate (keep iff score >= CLF_MIN); needs "
+        "trained weights to be meaningful — see plans/curate.py",
+    )
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from document_parser_spark.sources.session import ARROW_BATCH_ROWS
+
+    spark = (
+        SparkSession.builder.appName(f"curate:{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from document_parser_spark.plans.curate import run_curation_checkpointed
+
+    if args.input.startswith("synthetic:"):
+        docs = synthetic_flat_df(spark, int(args.input.split(":", 1)[1]))
+    else:
+        docs = spark.read.parquet(args.input)
+
+    stats = run_curation_checkpointed(
+        spark,
+        docs,
+        args.output,
+        run_id=args.run_id,
+        num_buckets=args.buckets,
+        max_buckets_this_run=args.max_buckets_this_run,
+        keep_langs=tuple(args.keep_langs.split(",")),
+        max_words=args.max_words,
+        stride=args.stride,
+        clf_min=args.clf_min,
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
