@@ -178,7 +178,7 @@ def curate_corpus(
 
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))  # not regexp_replace: r04 measured 27x
     staged = (
         canonical.withColumn("n_words", F.size(words(t)).cast("long"))
         .withColumn("_best", language_best_struct(t))
@@ -309,6 +309,82 @@ def repeated_ngram_spans(
         .select("doc_id", "pos", "window_md5")
         .orderBy("doc_id", "pos", "window_md5")
     )
+
+
+def quality_language_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_langs: tuple = ("en",),
+    clf_min: int | None = None,
+    min_words: int = 5,
+    min_chars: int = 20,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Map-only keep/drop gate shared by the batch curation pipeline
+    (plans/curate.py) and its streaming twin (streaming/curate_stream.py):
+    length + punctuation-density heuristics, n-gram language argmax
+    (0 hits → "und"), and — when ``clf_min`` is set — the hashing-trick
+    classifier score floor.  Pure projections and filters, no
+    joins/windows/aggregates, so the SAME function is legal on a batch
+    frame and on an unbounded streaming frame, and batch/stream outputs are
+    byte-identical by construction (equality-gated in
+    tests/test_streaming_curate.py).  Adds ``n_words`` (long) and
+    ``lang_pred`` to the surviving rows.
+
+    ``use_arrow`` (default): language+word-count via the one-pass Arrow
+    twin ``text.language_words_arrow`` — measured r04 at 16 cores over 45k
+    ~850-word docs, the interpreted higher-order aggregate adds +11.2 s
+    where the Arrow pass adds +1.8 s (6×, word count included).
+    ``use_arrow=False`` keeps the pure-Column form; the two are
+    equality-gated in tests/test_curate_run.py.
+
+    The punct count is ``regexp_count`` of the punct class, NOT
+    ``length(regexp_replace(non-punct, ''))`` — the identical integer, but
+    the replace materializes a stripped copy of every document (+18.9 s vs
+    +0.7 s in the same measurement, the single largest cost in the whole
+    pipeline)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
+    if use_arrow:
+        from .text import language_words_arrow
+
+        staged = (
+            df.withColumn("_lw", language_words_arrow(t))
+            .withColumn("n_words", F.col("_lw.n_words"))
+            .withColumn(
+                "lang_pred",
+                F.when(F.col("_lw.hits") > 0, F.col("_lw.lang")).otherwise(
+                    F.lit("und")
+                ),
+            )
+            .drop("_lw")
+        )
+    else:
+        staged = (
+            df.withColumn("n_words", F.size(words(t)).cast("long"))
+            .withColumn("_best", language_best_struct(t))
+            .withColumn(
+                "lang_pred",
+                F.when(F.col("_best.hits") > 0, F.col("_best.lang")).otherwise(
+                    F.lit("und")
+                ),
+            )
+            .drop("_best")
+        )
+    quality_ok = (
+        (F.col("n_words") >= min_words)
+        & (n_chars >= min_chars)
+        & (n_punct * 2 < F.greatest(n_chars, F.lit(1)))
+    )
+    gated = staged.filter(quality_ok).filter(F.col("lang_pred").isin(*keep_langs))
+    if clf_min is not None:
+        from .text import _clf_score_arrow
+
+        gated = gated.withColumn("_clf", _clf_score_arrow(t)).filter(
+            F.col("_clf") >= clf_min
+        ).drop("_clf")
+    return gated
 
 
 _CHUNK_UDFS: dict = {}

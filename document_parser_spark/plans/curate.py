@@ -28,6 +28,46 @@ from .resume import completed_buckets, write_metrics, write_partitioned
 
 DEFAULT_BUCKETS = 64
 
+#: English-signal preamble planted on 3/4 of synthetic source ids: the raw
+#: synthetic vocabulary carries no stopword signal (language-ID → "und" on
+#: every doc), which would make the pipeline's language gate vacuously drop
+#: 100% — probe data is injected so the gate demonstrably cuts instead.
+EN_PREAMBLE = (
+    "This is the summary of what was done and the findings that were "
+    "reported for the study with all of its parts.\n\n"
+)
+
+
+def synthetic_curation_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic flat (doc_id, text) corpus built executor-side from the
+    shared synthetic generator; every 10th doc (doc_id % 10 == 9) carries
+    its predecessor's text verbatim — planted exact duplicates — and the
+    English preamble keys on the SOURCE id (``src % 4 != 3``) so dup pairs
+    stay byte-identical while ~25% of docs remain language-"und" for the
+    gate to cut.  Used by jobs/curate_job.py (``--input synthetic:N``) and
+    the bench curate-scaling study."""
+    from typing import Iterator
+
+    base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..corpus import synthesize_doc
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                src = i - 1 if (i % 10 == 9 and i > 0) else i
+                pre = EN_PREAMBLE if src % 4 != 3 else ""
+                rows.append(
+                    {"doc_id": i, "text": pre + synthesize_doc(src)["text"]}
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, "doc_id long, text string")
+
 
 def with_content_bucket(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Content-derived stable bucket: identical texts → identical bucket, on
@@ -109,6 +149,7 @@ def run_curation_checkpointed(
     max_words: int = 512,
     stride: int | None = None,
     clf_min: int | None = None,
+    single_scan: bool = False,
 ) -> dict:
     """Run the curation pipeline over ``docs`` (doc_id, text) with bucket-
     level checkpoint-resume.  Returns observability counters.
@@ -119,7 +160,15 @@ def run_curation_checkpointed(
     map-only projection (quality heuristics + the zero-shuffle Arrow
     classifier + language argmax, no joins); chunking is one Arrow pass +
     explode; the only other shuffles are the chunk write's cluster-by-bucket
-    and the two tiny per-bucket metric aggregations.
+    and the two tiny per-bucket metric aggregations.  The input is scanned
+    twice (election window + the map-side-aggregated input census) and
+    nothing corpus-sized is cached pre-gate: the ``single_scan=True``
+    variant (cache the elected canonical, derive the census from it) was
+    measured and LOSES at scale — at 200k docs × 16 cores the corpus-sized
+    cache thrashes executor memory to 164 s where the cache-free shape
+    runs 27.5 s (BASELINE.md r04) — the repo's recurring
+    persist-vs-re-derive lesson, and at 100 TB caching the corpus per run
+    is infeasible anyway while a second column-pruned scan is cheap.
     ``max_buckets_this_run`` simulates a crash for resume tests.
 
     ``clf_min`` arms the hashing-trick classifier gate (keep iff score ≥
@@ -127,8 +176,7 @@ def run_curation_checkpointed(
     stand-in scores are content-hash noise, and gating on them silently
     halves the corpus — arm it only when production weights back the
     score (the text.hash_classifier_score weight-table seam)."""
-    from ..operators.curation import chunk_documents
-    from ..operators.text import _clf_score_arrow, language_best_struct, words
+    from ..operators.curation import chunk_documents, quality_language_gate
 
     chunks_dir = os.path.join(out_dir, "chunks")
     metrics_dir = os.path.join(out_dir, "metrics")
@@ -146,49 +194,42 @@ def run_curation_checkpointed(
         )[:max_buckets_this_run]
         todo = todo.filter(F.col("bucket").isin(remaining))
 
-    # canonical election: global because every md5 group is bucket-local
+    # canonical election: global because every md5 group is bucket-local.
+    # The window also counts the group's copies so the single_scan variant
+    # can derive the census from a cached canonical — measured to LOSE
+    # (164 s vs 27.5 s at 200k docs × 16 cores, BASELINE.md r04): the
+    # default is the cache-free shape, census via a second map-side-
+    # aggregated input scan.
     w = Window.partitionBy(F.md5("text"))
     canonical = (
         todo.withColumn("_canon", F.min("doc_id").over(w))
+        .withColumn("_copies", F.count("*").over(w))
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
     )
-
-    # Expand-free: (bucket, md5) grain first, then plain counts per bucket
-    per_bucket_in = (
-        todo.groupBy("bucket", F.md5("text").alias("_md5"))
-        .agg(F.count("*").alias("_copies"))
-        .groupBy("bucket")
-        .agg(
+    if single_scan:
+        canonical = canonical.persist(StorageLevel.MEMORY_AND_DISK)
+        per_bucket_in = canonical.groupBy("bucket").agg(
             F.sum("_copies").alias("docs_in"),
             F.count("*").alias("docs_canonical"),
         )
-    )
+    else:
+        # Expand-free: (bucket, md5) grain first, then plain counts
+        per_bucket_in = (
+            todo.groupBy("bucket", F.md5("text").alias("_md5"))
+            .agg(F.count("*").alias("_copies"))
+            .groupBy("bucket")
+            .agg(
+                F.sum("_copies").alias("docs_in"),
+                F.count("*").alias("docs_canonical"),
+            )
+        )
 
     # map-only gate: heuristics + classifier + language, one projection each
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
-    staged = (
-        canonical.withColumn("n_words", F.size(words(t)).cast("long"))
-        .withColumn("_best", language_best_struct(t))
-        .withColumn(
-            "lang_pred",
-            F.when(F.col("_best.hits") > 0, F.col("_best.lang")).otherwise(
-                F.lit("und")
-            ),
-        )
+    # (shared with the streaming twin — see operators.curation)
+    gated = quality_language_gate(
+        canonical.drop("_copies"), keep_langs=keep_langs, clf_min=clf_min
     )
-    quality_ok = (
-        (F.col("n_words") >= 5)
-        & (n_chars >= 20)
-        & (n_punct * 2 < F.greatest(n_chars, F.lit(1)))
-    )
-    gated = staged.filter(quality_ok).filter(F.col("lang_pred").isin(*keep_langs))
-    if clf_min is not None:
-        gated = gated.withColumn("_clf", _clf_score_arrow(t)).filter(
-            F.col("_clf") >= clf_min
-        )
     survivors = gated.select("doc_id", "text", "bucket", "n_words").persist(
         StorageLevel.MEMORY_AND_DISK
     )  # consumed twice: the chunk write and the metrics rollup
@@ -209,6 +250,8 @@ def run_curation_checkpointed(
     )
     write_metrics(metrics, metrics_dir)
     survivors.unpersist()
+    if single_scan:
+        canonical.unpersist()
 
     # stats from the WRITTEN manifest (this run's rows: just-done ∪ resumed),
     # not the live `metrics` frame — aggregating that would re-execute the

@@ -20,44 +20,6 @@ import argparse
 import json
 
 
-_EN_PREAMBLE = (
-    "This is the summary of what was done and the findings that were "
-    "reported for the study with all of its parts.\n\n"
-)
-
-
-def synthetic_flat_df(spark, n_docs: int):
-    """Deterministic flat (doc_id, text) corpus built executor-side from the
-    shared synthetic generator; every 10th doc (doc_id % 10 == 9) carries its
-    predecessor's text verbatim — planted exact duplicates.  The raw
-    synthetic vocabulary carries no stopword signal (language-ID → "und" on
-    every doc, which would make the job's language gate vacuously drop 100%),
-    so docs whose SOURCE id % 4 != 3 get a fixed English-signal preamble —
-    keyed on the source id so planted dup pairs stay byte-identical — leaving
-    a deterministic ~25% for the gate to demonstrably cut."""
-    from typing import Iterator
-
-    import pandas as pd
-
-    base = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism * 2)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from document_parser_spark.corpus import synthesize_doc
-
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                src = i - 1 if (i % 10 == 9 and i > 0) else i
-                pre = _EN_PREAMBLE if src % 4 != 3 else ""
-                rows.append(
-                    {"doc_id": i, "text": pre + synthesize_doc(src)["text"]}
-                )
-            yield pd.DataFrame(rows)
-
-    return base.mapInPandas(gen, "doc_id long, text string")
-
-
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True)
@@ -92,10 +54,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from document_parser_spark.plans.curate import run_curation_checkpointed
+    from document_parser_spark.plans.curate import (
+        run_curation_checkpointed,
+        synthetic_curation_corpus,
+    )
 
     if args.input.startswith("synthetic:"):
-        docs = synthetic_flat_df(spark, int(args.input.split(":", 1)[1]))
+        docs = synthetic_curation_corpus(spark, int(args.input.split(":", 1)[1]))
     else:
         docs = spark.read.parquet(args.input)
 

@@ -5,7 +5,10 @@ bucket-level crash-resume."""
 import pyspark.sql.functions as F
 import pytest
 
-from document_parser_spark.operators.curation import chunk_documents
+from document_parser_spark.operators.curation import (
+    chunk_documents,
+    quality_language_gate,
+)
 from document_parser_spark.plans.curate import (
     chunk_stats_closed_form,
     run_curation_checkpointed,
@@ -77,6 +80,24 @@ def test_pipeline_semantics_and_metrics_consistency(spark, tmp_path):
     actual = chunks.agg(F.count("*").alias("c"), F.sum("n_words").alias("w")).collect()[0]
     assert (totals["c"], totals["w"]) == (actual["c"], actual["w"])
     assert stats["chunks_out"] == actual["c"]
+    # the two census shapes (cache-free double scan [default] vs cached-
+    # canonical single scan) are byte-equivalent: same chunks, same metrics
+    out_ts = str(tmp_path / "one_scan")
+    ts = run_curation_checkpointed(
+        spark, _corpus(spark), out_ts, run_id="t1", num_buckets=4,
+        max_words=20, stride=15, single_scan=True,
+    )
+    assert (ts["docs_in"], ts["docs_kept"], ts["chunks_out"]) == (
+        stats["docs_in"], stats["docs_kept"], stats["chunks_out"],
+    )
+    key_cols = ["doc_id", "chunk_id", "first_word", "n_words", "chunk_text"]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out_ts + "/chunks").select(*key_cols).collect()
+    ) == sorted(tuple(r) for r in chunks.select(*key_cols).collect())
+    m_cols = ["partition_key", "docs_in", "docs_canonical", "docs_kept", "chunks_out", "words_out"]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out_ts + "/metrics").select(*m_cols).collect()
+    ) == sorted(tuple(r) for r in m.select(*m_cols).collect())
     # arming the classifier gate can only shrink the kept set
     out2 = str(tmp_path / "clf")
     armed = run_curation_checkpointed(
@@ -129,6 +150,49 @@ def test_resume_skips_completed_and_crash_recovers(spark, tmp_path):
         .select("doc_id", "chunk_id", "first_word", "n_words", "chunk_text").collect()
     )
     assert rows_a == rows_b
+
+
+def test_gate_arrow_equals_column(spark):
+    """The Arrow language+word-count pass and the pure-Column form admit the
+    SAME rows with the SAME added columns — on real sf docs (markdown with
+    tabs/newlines), the synthetic curation corpus, and adversarial edges
+    (empty / whitespace-only / unicode / tie-break-forcing texts)."""
+    import pyspark.sql.functions as F2
+
+    from document_parser_spark.plans.curate import synthetic_curation_corpus
+
+    edges = [
+        (9001, ""),
+        (9002, "   \t\n  "),
+        (9003, "la la la der der der"),        # es/fr vs de tie shapes
+        (9004, "the und der la el the la der"),  # multi-language collision
+        (9005, "café straße   nb sp words here the of"),
+        (9006, "is" * 2000 + " the of a in"),
+        (9007, "word " * 300 + "the and of to a in is that for with"),
+    ]
+    sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = (
+        synthetic_curation_corpus(spark, 60)
+        .unionByName(spark.createDataFrame(edges, "doc_id long, text string"))
+        .unionByName(sf)
+    )
+    cols = ["doc_id", "n_words", "lang_pred"]
+    a = sorted(
+        tuple(r)
+        for r in quality_language_gate(corpus, keep_langs=("en", "und", "de", "fr", "es"), use_arrow=True)
+        .select(*cols)
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in quality_language_gate(corpus, keep_langs=("en", "und", "de", "fr", "es"), use_arrow=False)
+        .select(*cols)
+        .collect()
+    )
+    assert a == b
+    assert len(a) > 50  # the corpus actually exercises the gate
 
 
 def test_content_bucket_groups_identical_texts(spark):
