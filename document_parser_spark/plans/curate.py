@@ -138,6 +138,47 @@ def curation_metrics(
     )
 
 
+def election_frames(
+    todo: DataFrame, single_scan: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(canonical, per_bucket_in) for a bucketed (doc_id, text, bucket)
+    frame — the exact election + census shapes ``run_curation_checkpointed``
+    executes, exposed so the plan gate (tests/test_plans.py) audits the real
+    pipeline frames.  ``canonical`` keeps a ``_copies`` column (the md5
+    group size) for the single-scan census variant; callers drop it.
+
+    canonical: ONE window over md5(text) (min-doc_id election; the only
+    corpus shuffle in the pre-gate pipeline).  per_bucket_in: the default
+    two-scan census pre-aggregates at the (bucket, md5) grain so no
+    distinct aggregate (and hence no Expand) appears, then rolls up to one
+    row per bucket; ``single_scan=True`` derives it from the (persisted,
+    measured-loser — BASELINE.md r04) canonical instead."""
+    w = Window.partitionBy(F.md5("text"))
+    canonical = (
+        todo.withColumn("_canon", F.min("doc_id").over(w))
+        .withColumn("_copies", F.count("*").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    if single_scan:
+        per_bucket_in = canonical.groupBy("bucket").agg(
+            F.sum("_copies").alias("docs_in"),
+            F.count("*").alias("docs_canonical"),
+        )
+    else:
+        # Expand-free: (bucket, md5) grain first, then plain counts
+        per_bucket_in = (
+            todo.groupBy("bucket", F.md5("text").alias("_md5"))
+            .agg(F.count("*").alias("_copies"))
+            .groupBy("bucket")
+            .agg(
+                F.sum("_copies").alias("docs_in"),
+                F.count("*").alias("docs_canonical"),
+            )
+        )
+    return canonical, per_bucket_in
+
+
 def run_curation_checkpointed(
     spark: SparkSession,
     docs: DataFrame,
@@ -200,29 +241,12 @@ def run_curation_checkpointed(
     # (164 s vs 27.5 s at 200k docs × 16 cores, BASELINE.md r04): the
     # default is the cache-free shape, census via a second map-side-
     # aggregated input scan.
-    w = Window.partitionBy(F.md5("text"))
-    canonical = (
-        todo.withColumn("_canon", F.min("doc_id").over(w))
-        .withColumn("_copies", F.count("*").over(w))
-        .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
-    )
+    canonical, per_bucket_in = election_frames(todo, single_scan=single_scan)
     if single_scan:
         canonical = canonical.persist(StorageLevel.MEMORY_AND_DISK)
         per_bucket_in = canonical.groupBy("bucket").agg(
             F.sum("_copies").alias("docs_in"),
             F.count("*").alias("docs_canonical"),
-        )
-    else:
-        # Expand-free: (bucket, md5) grain first, then plain counts
-        per_bucket_in = (
-            todo.groupBy("bucket", F.md5("text").alias("_md5"))
-            .agg(F.count("*").alias("_copies"))
-            .groupBy("bucket")
-            .agg(
-                F.sum("_copies").alias("docs_in"),
-                F.count("*").alias("docs_canonical"),
-            )
         )
 
     # map-only gate: heuristics + classifier + language, one projection each

@@ -298,6 +298,53 @@ def test_doc_chunks_is_map_only(spark):
     assert "Generate" in plan, plan  # the explode
 
 
+def test_curation_pipeline_stage_shapes(spark):
+    """The end-to-end curation job's three pre-write frames keep the shapes
+    its docstring promises at 100 TB (plans/curate.py):
+
+    * election + gate: exactly ONE corpus shuffle (the md5 window), zero
+      joins, and the only Python is vectorized Arrow (the language/word
+      pass) — never row-at-a-time BatchEvalPython;
+    * the default two-scan census: map-side partial aggregation at the
+      (bucket, md5) grain, no Expand (no distinct aggregates), no joins;
+    * chunking over survivors: map-only (covered per-operator by
+      test_doc_chunks_is_map_only; here we pin that attaching it to the
+      gated frame adds no NEW exchange beyond the election's)."""
+    from document_parser_spark.operators.curation import (
+        chunk_documents,
+        quality_language_gate,
+    )
+    from document_parser_spark.plans.curate import election_frames, with_content_bucket
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    bucketed = with_content_bucket(d, num_buckets=16)
+    canonical, census = election_frames(bucketed)
+
+    gated = quality_language_gate(canonical.drop("_copies"), keep_langs=("en",))
+    plan = plan_of(gated)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the election window only
+    assert "hashpartitioning" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    cplan = plan_of(census)
+    assert "Expand" not in cplan, cplan
+    assert "Join" not in cplan, cplan
+    assert cplan.count("HashAggregate") == 4, cplan  # partial+final × 2 levels
+    assert cplan.count("Exchange") <= 2, cplan  # (bucket,md5) + bucket rollup
+
+    chunked = chunk_documents(
+        gated.select("doc_id", "text", "bucket", "n_words"),
+        max_words=64,
+        stride=48,
+        passthrough=("bucket",),
+    )
+    full = plan_of(chunked)
+    assert full.count("Exchange") == 1, full  # still just the election's
+    assert "Join" not in full, full
+
+
 def test_tfidf_topk_scalar_attach_is_constant_broadcast(spark):
     """tf-idf's corpus size joins in as a broadcast 1-row aggregate (the
     scalar-attach BroadcastNestedLoopJoin is expected and scale-safe: the
