@@ -139,7 +139,7 @@ def curation_metrics(
 
 
 def election_frames(
-    todo: DataFrame, single_scan: bool = False
+    todo: DataFrame, single_scan: bool = False, method: str = "groupby"
 ) -> tuple[DataFrame, DataFrame]:
     """(canonical, per_bucket_in) for a bucketed (doc_id, text, bucket)
     frame — the exact election + census shapes ``run_curation_checkpointed``
@@ -147,19 +147,48 @@ def election_frames(
     pipeline frames.  ``canonical`` keeps a ``_copies`` column (the md5
     group size) for the single-scan census variant; callers drop it.
 
-    canonical: ONE window over md5(text) (min-doc_id election; the only
-    corpus shuffle in the pre-gate pipeline).  per_bucket_in: the default
-    two-scan census pre-aggregates at the (bucket, md5) grain so no
-    distinct aggregate (and hence no Expand) appears, then rolls up to one
-    row per bucket; ``single_scan=True`` derives it from the (persisted,
-    measured-loser — BASELINE.md r04) canonical instead."""
-    w = Window.partitionBy(F.md5("text"))
-    canonical = (
-        todo.withColumn("_canon", F.min("doc_id").over(w))
-        .withColumn("_copies", F.count("*").over(w))
-        .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
-    )
+    ``method="groupby"`` (default, SKEW-PROOF): ONE aggregate per md5 —
+    ``min(doc_id), first(text), count(*)``.  ``first(text)`` is EXACT here
+    because every row in an md5 group carries the identical text (the md5
+    IS the equality key), and it participates in partial aggregation: each
+    input partition emits at most one (md5, id, text, count) row per
+    distinct text it holds, so a viral boilerplate duplicated millions of
+    times crosses the wire as ``num_input_partitions`` rows instead of
+    every copy — same single scan and single shuffle as the window form,
+    but the reduce side never materializes a duplicate group.  (A
+    groupBy+equi-join formulation was measured and rejected: two scans +
+    three shuffles cost 3.5× the window on an unskewed 50k corpus.)
+
+    ``method="window"`` (the r04 original, kept as the equality-gated
+    twin): ONE window over md5(text) — a single corpus shuffle, but it
+    moves EVERY copy's full text into its duplicate-group's single
+    partition, so the slowest task grows with the largest duplicate
+    group: measured planted-skew A/B in BASELINE.md r04.
+
+    per_bucket_in: the default two-scan census pre-aggregates at the
+    (bucket, md5) grain so no distinct aggregate (and hence no Expand)
+    appears, then rolls up to one row per bucket; ``single_scan=True``
+    derives it from the (persisted, measured-loser — BASELINE.md r04)
+    canonical instead."""
+    if method == "groupby":
+        canonical = (
+            todo.groupBy(F.md5("text").alias("_md5"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.first("text").alias("text"),
+                F.first("bucket").alias("bucket"),
+                F.count("*").alias("_copies"),
+            )
+            .drop("_md5")
+        )
+    else:
+        w = Window.partitionBy(F.md5("text"))
+        canonical = (
+            todo.withColumn("_canon", F.min("doc_id").over(w))
+            .withColumn("_copies", F.count("*").over(w))
+            .filter(F.col("doc_id") == F.col("_canon"))
+            .drop("_canon")
+        )
     if single_scan:
         per_bucket_in = canonical.groupBy("bucket").agg(
             F.sum("_copies").alias("docs_in"),
@@ -191,13 +220,16 @@ def run_curation_checkpointed(
     stride: int | None = None,
     clf_min: int | None = None,
     single_scan: bool = False,
+    election_method: str = "groupby",
 ) -> dict:
     """Run the curation pipeline over ``docs`` (doc_id, text) with bucket-
     level checkpoint-resume.  Returns observability counters.
 
-    Stage shapes (the 100 TB audit): canonical election is ONE window over
-    md5(text) — co-partitioned with the bucket key by construction, so at
-    scale the exchange is the bucket partitioning itself; the gate is a
+    Stage shapes (the 100 TB audit): canonical election is ONE map-side-
+    combined aggregate per md5(text) (min doc_id, first text — exact, the
+    md5 is the equality key) — one shuffle, skew-proof under viral
+    duplicate groups (``election_method="window"`` keeps the window twin;
+    measured planted-skew A/B in BASELINE.md r04); the gate is a
     map-only projection (quality heuristics + the zero-shuffle Arrow
     classifier + language argmax, no joins); chunking is one Arrow pass +
     explode; the only other shuffles are the chunk write's cluster-by-bucket
@@ -236,12 +268,15 @@ def run_curation_checkpointed(
         todo = todo.filter(F.col("bucket").isin(remaining))
 
     # canonical election: global because every md5 group is bucket-local.
-    # The window also counts the group's copies so the single_scan variant
-    # can derive the census from a cached canonical — measured to LOSE
-    # (164 s vs 27.5 s at 200k docs × 16 cores, BASELINE.md r04): the
-    # default is the cache-free shape, census via a second map-side-
+    # Default is the skew-proof groupBy+join form (see election_frames);
+    # the election also counts the group's copies so the single_scan
+    # variant can derive the census from a cached canonical — measured to
+    # LOSE (164 s vs 27.5 s at 200k docs × 16 cores, BASELINE.md r04):
+    # the default is the cache-free shape, census via a second map-side-
     # aggregated input scan.
-    canonical, per_bucket_in = election_frames(todo, single_scan=single_scan)
+    canonical, per_bucket_in = election_frames(
+        todo, single_scan=single_scan, method=election_method
+    )
     if single_scan:
         canonical = canonical.persist(StorageLevel.MEMORY_AND_DISK)
         per_bucket_in = canonical.groupBy("bucket").agg(

@@ -36,6 +36,29 @@ def _corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_election_methods_agree(spark):
+    """The skew-proof groupBy+join election (default) and the one-shuffle
+    window twin elect IDENTICAL (canonical rows, copy counts, census) — on
+    the handcrafted corpus and on a synthetic one with a planted viral
+    duplicate group (one text × 37 copies)."""
+    from document_parser_spark.plans.curate import election_frames
+
+    viral = [(100 + i, "the same viral boilerplate text appears everywhere "
+              "on the web with these exact words") for i in range(37)]
+    extra = spark.createDataFrame(viral, "doc_id long, text string")
+    for docs in (_corpus(spark), _corpus(spark).unionByName(extra)):
+        b = with_content_bucket(docs, num_buckets=8)
+        canon_g, census_g = election_frames(b, method="groupby")
+        canon_w, census_w = election_frames(b, method="window")
+        cols = ["doc_id", "text", "bucket", "_copies"]
+        assert sorted(map(tuple, canon_g.select(cols).collect())) == sorted(
+            map(tuple, canon_w.select(cols).collect())
+        )
+        assert sorted(map(tuple, census_g.collect())) == sorted(
+            map(tuple, census_w.collect())
+        )
+
+
 def test_closed_form_matches_materialized_chunks(spark):
     import random
 

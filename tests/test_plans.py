@@ -322,11 +322,25 @@ def test_curation_pipeline_stage_shapes(spark):
 
     gated = quality_language_gate(canonical.drop("_copies"), keep_langs=("en",))
     plan = plan_of(gated)
+    # skew-proof default: the election is ONE map-side-combined aggregate
+    # (partial_min/partial_first before the shuffle — each input partition
+    # ships at most one row per distinct text, so no partition ever holds
+    # a whole duplicate group), same one-exchange shape as the window twin
+    assert "partial_min" in plan, plan
+    assert "partial_first" in plan, plan
     assert "Join" not in plan, plan
-    assert plan.count("Exchange") == 1, plan  # the election window only
-    assert "hashpartitioning" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+    # the window twin: ONE corpus shuffle, zero joins (the shape that wins
+    # when duplicate groups are known-bounded)
+    canonical_w, _ = election_frames(bucketed, method="window")
+    wplan = plan_of(quality_language_gate(canonical_w.drop("_copies")))
+    assert "Join" not in wplan, wplan
+    assert wplan.count("Exchange") == 1, wplan
+    assert "hashpartitioning" in wplan, wplan
 
     cplan = plan_of(census)
     assert "Expand" not in cplan, cplan
@@ -341,8 +355,10 @@ def test_curation_pipeline_stage_shapes(spark):
         passthrough=("bucket",),
     )
     full = plan_of(chunked)
-    assert full.count("Exchange") == 1, full  # still just the election's
-    assert "Join" not in full, full
+    # chunking adds NO new shuffle on top of the election's
+    assert full.count("Exchange hashpartitioning") == plan.count(
+        "Exchange hashpartitioning"
+    ), full
 
 
 def test_tfidf_topk_scalar_attach_is_constant_broadcast(spark):
