@@ -170,11 +170,22 @@ def curate_corpus(
     Keep a document iff it is (a) the canonical (min doc_id) copy of its
     exact-content group, (b) passes the quality gate, (c) language-IDs into
     ``keep_langs``.  Signals match operators.text.quality_scores /
-    language_id exactly (same expressions, same oracle SQL)."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    canonical = df.withColumn("_canon", F.min("doc_id").over(w)).filter(
-        F.col("doc_id") == F.col("_canon")
-    ).drop("_canon")
+    language_id exactly (same expressions, same oracle SQL).
+
+    The election is the skew-proof aggregate form (min doc_id + exact
+    ``first(text)`` per md5 — the md5 IS the equality key, and partial
+    aggregation ships at most one row per (input partition, distinct
+    text), so viral duplicate groups never co-locate; planted-skew A/B in
+    BASELINE.md r04 — the r02-r04 ``Window.partitionBy(md5)`` form put
+    every copy of the most-duplicated text in one task)."""
+    canonical = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first(text_col).alias(text_col),
+        )
+        .drop("_md5")
+    )
 
     t = F.col(text_col)
     n_chars = F.length(t)

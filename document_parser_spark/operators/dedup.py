@@ -462,19 +462,22 @@ def canonical_keep(
     Scale shape: clustered docs are a small fraction of the corpus (only
     near-dup participants carry a cluster row), so the doc_id equi-join
     against the docs projection is AQE-broadcastable from the cluster side;
-    the election is ONE window over cluster_id (per-cluster state, clusters
-    are near-dup-sized, no skew beyond a pathological mega-cluster which the
-    star-contraction labeling already bounds).  No driver-side state."""
+    the election is ONE map-side-combined aggregate per cluster —
+    ``min_by(doc_id, struct(-size, doc_id))`` encodes "largest size, ties
+    to smallest doc_id" as a single lexicographic min, so a viral
+    mega-cluster partially aggregates inside each input partition and
+    never co-locates (the r04 window formulation put every member of the
+    largest cluster in one task — same straggler the curation election
+    study measured, BASELINE.md r04).  No driver-side state."""
     j = clusters.join(docs.select("doc_id", size_col), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(size_col), F.asc("doc_id")
+    keep_key = F.struct(
+        (-F.col(size_col)).alias("neg_size"), F.col("doc_id").alias("d")
     )
     return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .groupBy("cluster_id")
+        j.groupBy("cluster_id")
         .agg(
-            F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc"),
-            F.max(F.when(F.col("rnk") == 1, F.col(size_col))).alias("keep_chars"),
+            F.min_by("doc_id", keep_key).alias("keep_doc"),
+            F.max(size_col).alias("keep_chars"),
             F.count("*").alias("n_members"),
         )
         .select(

@@ -119,13 +119,36 @@ def test_fuzzy_filter_stays_codegen(spark):
 
 def test_curate_corpus_is_join_free(spark):
     """Round-2 fix (VERDICT #7): quality/language are columns on the
-    canonical survivors — the only shuffles are the dedup window and the
-    final sort, with zero joins."""
+    canonical survivors — the only shuffles are the dedup election and the
+    final sort, with zero joins.  r04: the election is the skew-proof
+    map-side-combined aggregate (partial min/first), not a window."""
     from document_parser_spark.operators.curation import curate_corpus
 
     d = load_table(spark, SF, "documents").select("doc_id", "text")
     plan = plan_of(curate_corpus(d, keep_langs=("en", "fr")))
     assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan and "partial_first" in plan, plan
+
+
+def test_canonical_keep_is_aggregate_election(spark):
+    """The per-cluster keep/drop election must partially aggregate map-side
+    (min_by/max over narrow rows) — never a row_number window that
+    co-locates a mega-cluster's whole membership in one task."""
+    from document_parser_spark.operators.dedup import (
+        canonical_keep,
+        duplicate_clusters,
+        minhash_near_dup_pairs,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    pairs = minhash_near_dup_pairs(d, shingle_k=5)
+    clusters = duplicate_clusters(pairs)
+    docs_sz = d.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    plan = plan_of(canonical_keep(clusters, docs_sz))
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
