@@ -773,7 +773,15 @@ def ngram_jaccard_pairs(
     re-derivations run as parallel cheap scans.  So the default is False at
     job scale; at corpus scale (where re-reading 100 TB ×4 dominates) set it
     True — or better, write the tokenized frame once per curation run and
-    feed it to every dedup operator."""
+    feed it to every dedup operator.
+
+    Oversize-doc note: the prefix-rank window partitions by doc_id over the
+    doc's DISTINCT tokens, so a pathological 100 MB document puts its ~10⁶
+    distinct tokens (narrow rows) in one task — heavy but bounded by ONE
+    doc's vocabulary, never by corpus skew.  Pipelines that admit giant
+    docs should length-gate them upstream (the curation gate) or segment
+    them first (plans/segmentation.py); a book-length doc is not a sane
+    near-dup unit anyway."""
     dw, sizes, cand = _ngram_frames(
         df, text_col, block_cols, threshold_pct, persist_words, ngram_n
     )
