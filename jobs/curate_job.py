@@ -67,7 +67,22 @@ def main() -> None:
     )
 
     if args.input.startswith("synthetic:"):
-        docs = synthetic_curation_corpus(spark, int(args.input.split(":", 1)[1]))
+        # Stage the generated corpus to parquet ONCE and read it back: the
+        # pipeline scans its input several times (election + census + gate
+        # chain), and an unpersisted generator frame re-synthesizes on every
+        # scan — measured at 1M docs: 630 s vs 229 s staged (BASELINE.md
+        # r04).  Production inputs already arrive from storage; this makes
+        # the synthetic path measure the same engine.  The corpus is
+        # deterministic, so an existing stage dir is reused on re-submit.
+        import os
+
+        n = int(args.input.split(":", 1)[1])
+        stage = os.path.join(args.output, f"_input_{n}")
+        try:
+            spark.read.parquet(stage).limit(1).collect()
+        except Exception:  # noqa: BLE001 — first run: stage dir absent
+            synthetic_curation_corpus(spark, n).write.mode("overwrite").parquet(stage)
+        docs = spark.read.parquet(stage)
     else:
         docs = spark.read.parquet(args.input)
 
