@@ -299,7 +299,14 @@ def _mp_work(rng) -> int:
 def _curate_once(cpus: int, docs: int, single_scan: bool = False) -> dict:
     """One in-process run of the curation pipeline (plans/curate.py) over
     the deterministic synthetic corpus — the subprocess unit of
-    ``curate_scaling_study`` (one master per JVM, like scaling_study)."""
+    ``curate_scaling_study`` (one master per JVM, like scaling_study).
+
+    r04 protocol fix (matches jobs/curate_job.py): the corpus is STAGED to
+    parquet before the timed pipeline — the pipeline scans its input
+    several times and an unpersisted generator frame re-synthesizes on
+    every scan (1M docs: 630 s vs 229 s staged), which diluted the
+    scaling signal with generator compute.  Earlier curate-scaling rows
+    (generation in-loop) are not wall-comparable to staged ones."""
     import shutil
     import tempfile
 
@@ -312,9 +319,11 @@ def _curate_once(cpus: int, docs: int, single_scan: bool = False) -> dict:
     spark = get_spark(app_name=f"curate-bench[{cpus}]", cpus=cpus)
     out = tempfile.mkdtemp(prefix="curate_bench_")
     try:
+        stage = os.path.join(out, "_input")
+        synthetic_curation_corpus(spark, docs).write.mode("overwrite").parquet(stage)
         stats = run_curation_checkpointed(
             spark,
-            synthetic_curation_corpus(spark, docs),
+            spark.read.parquet(stage),
             out,
             run_id="bench",
             num_buckets=64,
