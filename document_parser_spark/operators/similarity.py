@@ -604,6 +604,53 @@ def _sketch_udf(dim: int, planes: int = SKETCH_PLANES):
     return sketch
 
 
+def _hamming_words(words: int) -> Column:
+    """XOR+POPCNT hamming distance between the packed sketch columns ``sk``
+    and ``qsk`` — ``words`` integer ops per pair, all in whole-stage codegen."""
+    return sum(
+        F.bit_count(F.col("sk").getItem(i).bitwiseXOR(F.col("qsk").getItem(i)))
+        for i in range(words)
+    )
+
+
+def _topm_exact_rerank(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared sketch-ANN tail: keep the ``m`` hamming-nearest candidates per
+    query (ties → lowest vec_id), fetch float vectors for ONLY those rows,
+    exact integer-cosine re-score, top-k.  ``scored`` is (query_id, vec_id,
+    hamming); this is the only stage that touches the float column."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+        .select("query_id", "vec_id")
+    )
+    e_vec = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    rescored = (
+        cand.join(e_vec, "vec_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_exact_arrow(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def sketch_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -629,37 +676,66 @@ def sketch_topk(
     words = planes // SKETCH_WORD_BITS
     e_sk = embeddings.select(F.col(id_col).alias("vec_id"), udf(F.col(vec_col)).alias("sk"))
     q_sk = queries.select(F.col(id_col).alias("query_id"), udf(F.col(vec_col)).alias("qsk"))
-    hamming = sum(
-        F.bit_count(F.col("sk").getItem(i).bitwiseXOR(F.col("qsk").getItem(i)))
-        for i in range(words)
-    )
     scored = (
         e_sk.crossJoin(F.broadcast(q_sk))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .select("query_id", "vec_id", _hamming_words(words).alias("hamming"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= m)
-        .select("query_id", "vec_id")
+    return _topm_exact_rerank(scored, embeddings, queries, k, m, id_col, vec_col)
+
+
+def sketch_topk_from_index(
+    index: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_frac_pct: int = RERANK_FRAC_PCT,
+    planes: int = SKETCH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``sketch_topk`` reading its corpus sketches from a PERSISTED index
+    table (build-once / query-many — plans/ann_index.py): the full-corpus
+    hamming pass scans ONLY the index's (vec_id, sk) columns — at 100 TB of
+    256-byte float vectors that is a 64-byte-per-row scan of a separate,
+    far smaller table, and the float vectors are read exactly once, for the
+    top-m rerank join (plan-gated in tests/test_ann_index.py).  Results are
+    byte-identical to ``sketch_topk`` over the same corpus (equality-gated)."""
+    n = index.count()
+    m = max(k, (n * rerank_frac_pct + 99) // 100)
+    dim = probe_dim(queries, vec_col)
+    udf = _sketch_udf(dim, planes)
+    words = planes // SKETCH_WORD_BITS
+    q_sk = queries.select(F.col(id_col).alias("query_id"), udf(F.col(vec_col)).alias("qsk"))
+    scored = (
+        index.select("vec_id", "sk")
+        .crossJoin(F.broadcast(q_sk))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _hamming_words(words).alias("hamming"))
     )
-    e_vec = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
-    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    rescored = (
-        cand.join(e_vec, "vec_id")
-        .join(F.broadcast(q_vec), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_exact_arrow(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    return _topm_exact_rerank(scored, embeddings, queries, k, m, id_col, vec_col)
+
+
+def ann_index_frame(
+    embeddings: DataFrame,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    planes: int = SKETCH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The at-rest ANN index row set — (vec_id, cid, sk) — in ONE map-only
+    Arrow pass over the embeddings (nearest-list assignment + packed sign
+    sketch; no shuffle).  ``ivf_sketch_topk`` builds this frame inline;
+    plans/ann_index.py persists it partitioned for the build-once /
+    query-many production shape."""
+    assign_udf = _probe_udf(cids, cmat, 1)
+    dim = probe_dim(embeddings, vec_col)
+    sk_udf = _sketch_udf(dim, planes)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(assign_udf(F.col(vec_col)), 1).alias("cid"),
+        sk_udf(F.col(vec_col)).alias("sk"),
     )
 
 
@@ -699,26 +775,68 @@ def ivf_sketch_topk(
     if nprobe is None:
         nprobe = ivf_nprobe(nlist)
     cids, cmat = ivf_centroids_kmeans(embeddings, nlist, LLOYD_ITERS, id_col, vec_col)
-    assign_udf = _probe_udf(cids, cmat, 1)
+    # corpus index side: (vec_id, cid, sketch) — at rest this is a stored
+    # index table (plans/ann_index.py persists exactly this frame); the
+    # float vectors stay unread until the exact rerank
+    e_side = ann_index_frame(embeddings, cids, cmat, planes, id_col, vec_col)
+    return _ivf_sketch_from_side(
+        e_side, cids, cmat, embeddings, queries, n, k, nprobe,
+        rerank_frac_pct, planes, id_col, vec_col,
+    )
+
+
+def ivf_sketch_topk_from_index(
+    index: DataFrame,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    rerank_frac_pct: int = RERANK_FRAC_PCT,
+    planes: int = SKETCH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_sketch_topk`` with the (vec_id, cid, sk) side read from a
+    PERSISTED index and the quantizer from its stored centroids
+    (plans/ann_index.py ``load_ann_index``) — the per-query work is only the
+    probe + the probed slice's hamming scan + the exact rerank; nothing
+    corpus-sized is recomputed.  Byte-identical to ``ivf_sketch_topk`` built
+    with the same centroids (equality-gated in tests/test_ann_index.py)."""
+    n = index.count()
+    return _ivf_sketch_from_side(
+        index.select("vec_id", "cid", "sk"), cids, cmat, embeddings, queries,
+        n, k, nprobe, rerank_frac_pct, planes, id_col, vec_col,
+    )
+
+
+def _ivf_sketch_from_side(
+    e_side: DataFrame,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n: int,
+    k: int,
+    nprobe: int | None,
+    rerank_frac_pct: int,
+    planes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF→sketch→exact body over an inline or persisted index side."""
+    nlist = len(cids)
+    if nprobe is None:
+        nprobe = ivf_nprobe(nlist)
     probe_udf = _probe_udf(cids, cmat, nprobe)
-    dim = probe_dim(embeddings, vec_col)
+    dim = probe_dim(queries, vec_col)
     sk_udf = _sketch_udf(dim, planes)
     words = planes // SKETCH_WORD_BITS
-    # corpus index side: (vec_id, cid, sketch) — at rest this is a stored
-    # index table; the float vectors stay unread until the exact rerank
-    e_side = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.element_at(assign_udf(F.col(vec_col)), 1).alias("cid"),
-        sk_udf(F.col(vec_col)).alias("sk"),
-    )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         sk_udf(F.col(vec_col)).alias("qsk"),
         F.explode(probe_udf(F.col(vec_col))).alias("cid"),
-    )
-    hamming = sum(
-        F.bit_count(F.col("sk").getItem(i).bitwiseXOR(F.col("qsk").getItem(i)))
-        for i in range(words)
     )
     # rerank budget: rerank_frac of the EXPECTED probed-set size (n·nprobe/
     # nlist) — deterministic, so the scored fraction is a design dial, not a
@@ -731,31 +849,9 @@ def ivf_sketch_topk(
     scored = (
         e_side.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .select("query_id", "vec_id", _hamming_words(words).alias("hamming"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= m)
-        .select("query_id", "vec_id")
-    )
-    e_vec = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
-    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    rescored = (
-        cand.join(e_vec, "vec_id")
-        .join(F.broadcast(q_vec), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_exact_arrow(F.col("q_vec"), F.col("v_vec")).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topm_exact_rerank(scored, embeddings, queries, k, m, id_col, vec_col)
 
 
 #: ``ann_topk`` dispatch table — public so callers can enumerate methods.

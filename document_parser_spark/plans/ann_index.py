@@ -1,0 +1,194 @@
+"""Persisted ANN index — the build-once / query-many production shape.
+
+``sketch_topk``/``ivf_sketch_topk`` document their corpus side as "at rest
+this is a stored index table"; this module makes that real.  At 100 TB of
+embeddings the sketch+assignment pass is itself a large job, so the build
+follows the same resumable shape as extraction (plans/resume.py) and
+curation (plans/curate.py):
+
+  * **step 1 — quantizer (global, idempotent)**: integer-exact k-means
+    centroids over the FULL corpus, written once to ``<out>/centroids``
+    with a one-row ``<out>/meta`` table recording (n, nlist, planes, dim).
+    Per-bucket resume is only valid against FIXED centroids — a restart
+    therefore REUSES stored centroids when the meta row matches the
+    requested dials, and recomputes+overwrites when it doesn't (a partial
+    centroid write fails the readback and recomputes).
+  * **step 2 — index rows (per-bucket, resumable)**: one map-only Arrow
+    pass emits (vec_id, cid, sk) — ``operators.similarity.ann_index_frame``,
+    the exact frame ``ivf_sketch_topk`` builds inline — bucketed by
+    ``pmod(xxhash64(vec_id), B)`` (id-derived: rows are independent, no
+    cross-row grouping to co-locate), written ``partitionBy(bucket)`` with
+    dynamic partition overwrite plus one lineage row per (run_id, bucket).
+    A crash between buckets resumes with completed buckets untouched.
+
+Query side: ``load_ann_index`` returns the index frame + the centroid
+matrix; ``similarity.sketch_topk_from_index`` /
+``ivf_sketch_topk_from_index`` run against them, scanning the 64-byte
+sketch column instead of re-sketching the float corpus per query — the
+float vectors are read exactly once, for the exact rerank of the top slice
+(plan-gated in tests/test_ann_index.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    SKETCH_PLANES,
+    ann_index_frame,
+    ivf_centroids_kmeans,
+    ivf_nlist,
+    probe_dim,
+)
+from .resume import completed_buckets, write_metrics, write_partitioned
+
+DEFAULT_BUCKETS = 64
+
+
+def _centroids_frame(
+    spark: SparkSession, cids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    rows = [(int(c), [int(x) for x in cmat[i]]) for i, c in enumerate(cids)]
+    return spark.createDataFrame(rows, "cid long, civ array<long>")
+
+
+def load_centroids(spark: SparkSession, centroids_dir: str):
+    """(cids, cmat) from the stored quantizer, ordered by cid — the same
+    numpy shapes ``ivf_centroids_kmeans`` returns."""
+    rows = sorted(
+        spark.read.parquet(centroids_dir).collect(), key=lambda r: r["cid"]
+    )
+    if not rows:
+        raise ValueError(f"empty centroid table at {centroids_dir}")
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["civ"] for r in rows], dtype=np.int64)
+    return cids, cmat
+
+
+def load_ann_index(spark: SparkSession, out_dir: str):
+    """(index_df, cids, cmat, meta) for a completed build — the inputs the
+    ``*_from_index`` query functions take.  ``meta`` is the build-dial row
+    (n, nlist, planes, dim) as a dict."""
+    index = spark.read.parquet(os.path.join(out_dir, "index"))
+    cids, cmat = load_centroids(spark, os.path.join(out_dir, "centroids"))
+    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0].asDict()
+    return index, cids, cmat, meta
+
+
+def run_index_build_checkpointed(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+    nlist: int | None = None,
+    planes: int = SKETCH_PLANES,
+    max_buckets_this_run: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build (or resume building) the persisted ANN index for ``embeddings``
+    under ``out_dir`` (layout: index/, centroids/, meta/, metrics/).
+    Idempotent per (run_id, bucket); ``max_buckets_this_run`` simulates a
+    crash for resume tests.  Returns observability counters."""
+    index_dir = os.path.join(out_dir, "index")
+    centroids_dir = os.path.join(out_dir, "centroids")
+    meta_dir = os.path.join(out_dir, "meta")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    t0 = time.monotonic()
+    n = embeddings.count()
+    if nlist is None:
+        nlist = ivf_nlist(n)
+    dim = probe_dim(embeddings, vec_col)
+
+    # step 1: the quantizer must be FIXED before any bucket is written —
+    # reuse stored centroids iff the meta dials match this invocation
+    centroids_reused = False
+    try:
+        meta = spark.read.parquet(meta_dir).collect()[0].asDict()
+        if (meta["n"], meta["nlist"], meta["planes"], meta["dim"]) == (
+            n, nlist, planes, dim,
+        ):
+            cids, cmat = load_centroids(spark, centroids_dir)
+            centroids_reused = True
+        else:
+            raise ValueError(f"meta mismatch: stored {meta}")
+    except Exception:
+        cids, cmat = ivf_centroids_kmeans(embeddings, nlist, id_col=id_col, vec_col=vec_col)
+        _centroids_frame(spark, cids, cmat).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(centroids_dir)
+        # meta is written AFTER the centroids: its presence+match is the
+        # commit marker for step 1 (a crash between the two writes re-runs
+        # the quantizer, never resumes buckets against torn centroids)
+        spark.createDataFrame(
+            [(n, nlist, planes, dim)], "n long, nlist int, planes int, dim int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+
+    # step 2: map-only (vec_id, cid, sk) pass, bucketed + resumable
+    bucketed = ann_index_frame(
+        embeddings, cids, cmat, planes, id_col, vec_col
+    ).withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(num_buckets)).cast("int"))
+
+    done = completed_buckets(spark, metrics_dir, run_id)
+    todo = bucketed.filter(~F.col("bucket").isin(sorted(done))) if done else bucketed
+    if max_buckets_this_run is not None:
+        # bucket list from the id column only — never runs the sketch UDF
+        remaining = sorted(
+            r["b"]
+            for r in embeddings.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+            if r["b"] not in done
+        )[:max_buckets_this_run]
+        todo = todo.filter(F.col("bucket").isin(remaining))
+
+    write_partitioned(todo, index_dir)
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = (
+        spark.read.parquet(index_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("vec_count"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
+        .select(
+            F.col("bucket").alias("partition_key"),
+            F.lit(run_id).alias("run_id"),
+            "vec_count",
+            "min_vec_id",
+            "max_vec_id",
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+    )
+    if max_buckets_this_run is not None:
+        metrics = metrics.filter(F.col("partition_key").isin(remaining))
+    write_metrics(metrics, metrics_dir)
+
+    manifest = spark.read.parquet(metrics_dir).filter(F.col("run_id") == run_id)
+    total = manifest.agg(F.sum("vec_count").alias("v")).collect()[0]["v"]
+    return {
+        "run_id": run_id,
+        "n": n,
+        "nlist": nlist,
+        "planes": planes,
+        "dim": dim,
+        "centroids_reused": centroids_reused,
+        "buckets_done_before": len(done),
+        "buckets_done_total": manifest.select("partition_key").distinct().count(),
+        "vectors_indexed": int(total or 0),
+        "wall_ms": wall_ms,
+    }
