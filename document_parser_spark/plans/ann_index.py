@@ -89,13 +89,22 @@ def run_index_build_checkpointed(
     nlist: int | None = None,
     planes: int = SKETCH_PLANES,
     max_buckets_this_run: int | None = None,
+    centroids_from: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Build (or resume building) the persisted ANN index for ``embeddings``
     under ``out_dir`` (layout: index/, centroids/, meta/, metrics/).
     Idempotent per (run_id, bucket); ``max_buckets_this_run`` simulates a
-    crash for resume tests.  Returns observability counters."""
+    crash for resume tests.  Returns observability counters.
+
+    ``centroids_from`` is the INCREMENTAL-INGEST seam (the dedup_job
+    pattern): a new shard of vectors is indexed in its OWN out_dir against
+    the CORPUS index's already-fixed quantizer — refitting k-means on the
+    shard would assign new vectors to different lists than the corpus rows
+    they must be probed with.  The queryable index is then the union of the
+    shard index frames (same cids/cmat for every shard; disjoint vec_ids
+    are the caller's contract, as in minhash_incremental_pairs)."""
     index_dir = os.path.join(out_dir, "index")
     centroids_dir = os.path.join(out_dir, "centroids")
     meta_dir = os.path.join(out_dir, "meta")
@@ -110,6 +119,34 @@ def run_index_build_checkpointed(
     # step 1: the quantizer must be FIXED before any bucket is written —
     # reuse stored centroids iff the meta dials match this invocation
     centroids_reused = False
+    if centroids_from is not None:
+        src_meta = spark.read.parquet(
+            os.path.join(centroids_from, "meta")
+        ).collect()[0].asDict()
+        if (src_meta["planes"], src_meta["dim"]) != (planes, dim):
+            raise ValueError(
+                f"quantizer at {centroids_from} was built with "
+                f"planes={src_meta['planes']}, dim={src_meta['dim']} — "
+                f"this shard requested planes={planes}, dim={dim}"
+            )
+        cids, cmat = load_centroids(spark, os.path.join(centroids_from, "centroids"))
+        nlist = int(src_meta["nlist"])
+        centroids_reused = True
+        # mirror the corpus quantizer verbatim into the shard dir so
+        # load_ann_index(shard_dir) is self-contained (meta keeps the
+        # SOURCE n — it describes the quantizer's provenance, not the shard)
+        _centroids_frame(spark, cids, cmat).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(centroids_dir)
+        spark.createDataFrame(
+            [tuple(src_meta[c] for c in ("n", "nlist", "planes", "dim"))],
+            "n long, nlist int, planes int, dim int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+        return _index_pass(
+            spark, embeddings, cids, cmat, out_dir, run_id, num_buckets,
+            planes, max_buckets_this_run, id_col, vec_col,
+            t0, n, nlist, dim, centroids_reused,
+        )
     try:
         meta = spark.read.parquet(meta_dir).collect()[0].asDict()
         if (meta["n"], meta["nlist"], meta["planes"], meta["dim"]) == (
@@ -131,7 +168,37 @@ def run_index_build_checkpointed(
             [(n, nlist, planes, dim)], "n long, nlist int, planes int, dim int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
 
-    # step 2: map-only (vec_id, cid, sk) pass, bucketed + resumable
+    return _index_pass(
+        spark, embeddings, cids, cmat, out_dir, run_id, num_buckets,
+        planes, max_buckets_this_run, id_col, vec_col,
+        t0, n, nlist, dim, centroids_reused,
+    )
+
+
+def _index_pass(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int,
+    planes: int,
+    max_buckets_this_run: int | None,
+    id_col: str,
+    vec_col: str,
+    t0: float,
+    n: int,
+    nlist: int,
+    dim: int,
+    centroids_reused: bool,
+) -> dict:
+    """Step 2 of the build — the bucketed, resumable (vec_id, cid, sk) map
+    pass + lineage — shared by the fresh-quantizer and ``centroids_from``
+    branches of ``run_index_build_checkpointed``."""
+    index_dir = os.path.join(out_dir, "index")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
     bucketed = ann_index_frame(
         embeddings, cids, cmat, planes, id_col, vec_col
     ).withColumn("bucket", F.pmod(F.xxhash64("vec_id"), F.lit(num_buckets)).cast("int"))

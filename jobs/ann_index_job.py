@@ -29,6 +29,11 @@ def main() -> None:
     parser.add_argument("--nlist", type=int, default=None, help="k-means lists (default ~sqrt(n))")
     parser.add_argument("--planes", type=int, default=None, help="sketch bits (default 512)")
     parser.add_argument(
+        "--centroids-from", default=None,
+        help="index root of an EXISTING build whose quantizer this shard "
+        "must reuse (incremental ingest: never refit k-means per shard)",
+    )
+    parser.add_argument(
         "--queries", default=None,
         help="optional parquet of query vectors: run sketch top-k FROM the stored index",
     )
@@ -65,6 +70,7 @@ def main() -> None:
         num_buckets=args.buckets,
         nlist=args.nlist,
         planes=args.planes or SKETCH_PLANES,
+        centroids_from=args.centroids_from,
     )
 
     if args.queries:

@@ -98,6 +98,48 @@ def test_resume_reuses_centroids_and_matches_single_pass(spark, emb, tmp_path, b
     assert third["vectors_indexed"] == emb.count()
 
 
+def test_incremental_shard_indexes_against_corpus_quantizer(spark, emb, tmp_path, built):
+    """centroids_from: a new shard is indexed in its own dir against the
+    corpus's FIXED quantizer; the union of the two index frames queries
+    byte-identically to an inline ivf_sketch over the union corpus built
+    with the same centroids."""
+    corpus_out, _ = built
+    corpus = emb.filter(F.col("vec_id") < 400)
+    shard = emb.filter(F.col("vec_id") >= 400)
+    shard_out = str(tmp_path / "shard")
+    stats = run_index_build_checkpointed(
+        spark, shard, shard_out, run_id="s1", num_buckets=4,
+        centroids_from=corpus_out,
+    )
+    assert stats["centroids_reused"]
+    assert stats["vectors_indexed"] == shard.count()
+
+    corpus_index, cids, cmat, corpus_meta = load_ann_index(spark, corpus_out)
+    shard_index, s_cids, s_cmat, shard_meta = load_ann_index(spark, shard_out)
+    # the shard dir is self-contained and carries the corpus quantizer verbatim
+    assert (s_cids == cids).all() and (s_cmat == cmat).all()
+    assert shard_meta == corpus_meta
+
+    # NOTE: the corpus index here covers ALL of emb (built over the full
+    # fixture), so restrict it to the corpus slice before the union
+    union_index = corpus_index.join(
+        corpus.select("vec_id"), "vec_id", "left_semi"
+    ).unionByName(shard_index)
+    q = emb.filter(F.col("vec_id") < 5)
+    stored = _rows(
+        similarity.ivf_sketch_topk_from_index(union_index, cids, cmat, emb, q, k=10)
+    )
+    inline = _rows(
+        similarity._ivf_sketch_from_side(
+            similarity.ann_index_frame(emb, cids, cmat),
+            cids, cmat, emb, q, emb.count(), 10, None,
+            similarity.RERANK_FRAC_PCT, similarity.SKETCH_PLANES,
+            "vec_id", "embedding",
+        )
+    )
+    assert stored == inline
+
+
 def test_from_index_plan_reads_floats_once(spark, emb, built, tmp_path):
     """The 100 TB contract of the stored index: the full-corpus pass scans
     only the index table; the embeddings parquet (float vectors) appears in
