@@ -723,14 +723,17 @@ def ann_index_frame(
     planes: int = SKETCH_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The at-rest ANN index row set — (vec_id, cid, sk) — in ONE map-only
     Arrow pass over the embeddings (nearest-list assignment + packed sign
     sketch; no shuffle).  ``ivf_sketch_topk`` builds this frame inline;
     plans/ann_index.py persists it partitioned for the build-once /
-    query-many production shape."""
+    query-many production shape.  Pass ``dim`` explicitly for a STREAMING
+    input (probing it would aggregate an unbounded frame)."""
     assign_udf = _probe_udf(cids, cmat, 1)
-    dim = probe_dim(embeddings, vec_col)
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
     sk_udf = _sketch_udf(dim, planes)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
