@@ -630,7 +630,10 @@ def _scaled_embeddings_dir(spark, n_vecs: int, dim: int = 64) -> str:
     import numpy as np
     import pandas as pd
 
-    path = os.path.join(REPO, ".bench_data", f"escale_{n_vecs}")
+    # dim is part of the cache key (default dim keeps the legacy name so
+    # existing growth-study caches stay valid)
+    suffix = f"escale_{n_vecs}" if dim == 64 else f"escale_{n_vecs}_d{dim}"
+    path = os.path.join(REPO, ".bench_data", suffix)
     marker = os.path.join(path, "embeddings.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         rng = np.random.RandomState(7)

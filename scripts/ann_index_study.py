@@ -31,6 +31,11 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument(
+        "--dim", type=int, default=64,
+        help="embedding width — dim 64 can't surface the stored-sketch I/O "
+        "win (256 B float row vs 128 B sketch row); production dims can",
+    )
     ap.add_argument("--n-queries", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=16)
@@ -48,11 +53,11 @@ def main() -> None:
     from document_parser_spark.sources.session import get_spark, load_table
 
     spark = get_spark(app_name=f"ann-index-study[{args.cpus}]", cpus=args.cpus)
-    edir = bench._scaled_embeddings_dir(spark, args.n)
+    edir = bench._scaled_embeddings_dir(spark, args.n, dim=args.dim)
     emb = load_table(spark, edir, "embeddings")
     q = emb.filter(F.col("vec_id") < args.n_queries)
 
-    out = os.path.join(REPO, ".bench_data", f"ann_index_{args.n}")
+    out = os.path.join(REPO, ".bench_data", f"ann_index_{args.n}_d{args.dim}")
     t0 = time.monotonic()
     stats = run_index_build_checkpointed(
         spark, emb, out, run_id="study", num_buckets=64
@@ -84,6 +89,7 @@ def main() -> None:
 
     result = {
         "n": args.n,
+        "dim": args.dim,
         "n_queries": args.n_queries,
         "cpus": args.cpus,
         "build_wall_sec": build_wall,
