@@ -490,53 +490,155 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def _q_agg_shapes(spark, sf_dir):
-    """Distinct-count + per-group shape aggregation in one tagged result
-    (round-4 registry fold of distinct_ratio + shape_agg for the 50-row
-    driver CORRECTNESS window, same pattern as set_ops/window_ops/text_stats).
-    Branch 'mktseg': distinct nation keys per market segment; branch
-    'order': max line number + line count per order.  Both partial-agg
-    (map-side combined) group-bys attested by the one hash."""
+def _q_agg_rollup_ops(spark, sf_dir):
+    """Four aggregation shapes in one tagged result — the r04 fifth-session
+    fold of agg_shapes + rollup_ops (themselves folds of distinct_ratio +
+    shape_agg and dim_rollup + rollup_agg), making the 50th registry slot
+    for corpus_profile.  Branches: 'mktseg' distinct nation keys per market
+    segment; 'order' max line number + count per order; 'region' the
+    broadcast dim-join chain counted per region (explicit broadcast() hints
+    — plan gate asserts the exchange-free chain); 'lineitem' ROLLUP over
+    (returnflag, linestatus) with decimal-exact sums.  num carries the
+    branch's measure as double (small integers and decimal-exact sums are
+    exactly representable), cnt the row count."""
+    null_s = F.lit(None).cast("string")
     c = load_table(spark, sf_dir, "customer")
     seg = (
         c.groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("c_nationkey").alias("a"),
-            F.count("*").alias("b"),
+            F.countDistinct("c_nationkey").cast("double").alias("num"),
+            F.count("*").alias("cnt"),
         )
         .select(
             F.lit("mktseg").alias("kind"),
-            F.col("c_mktsegment").alias("key"),
-            "a",
-            "b",
+            F.col("c_mktsegment").alias("key1"),
+            null_s.alias("key2"),
+            "num",
+            "cnt",
         )
     )
     li = load_table(spark, sf_dir, "lineitem")
     shp = (
         li.groupBy("l_orderkey")
         .agg(
-            F.max("l_linenumber").cast("long").alias("a"),
-            F.count("*").alias("b"),
+            F.max("l_linenumber").cast("double").alias("num"),
+            F.count("*").alias("cnt"),
         )
         .select(
             F.lit("order").alias("kind"),
-            F.col("l_orderkey").cast("string").alias("key"),
-            "a",
-            "b",
+            F.col("l_orderkey").cast("string").alias("key1"),
+            null_s.alias("key2"),
+            "num",
+            "cnt",
         )
     )
-    return seg.unionByName(shp).orderBy("kind", "key")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("region").alias("kind"),
+            F.col("r_name").alias("key1"),
+            null_s.alias("key2"),
+            F.lit(None).cast("double").alias("num"),
+            "cnt",
+        )
+    )
+    rol = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("num"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.lit("lineitem").alias("kind"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            "num",
+            "cnt",
+        )
+    )
+    return (
+        seg.unionByName(shp)
+        .unionByName(dim)
+        .unionByName(rol)
+        .orderBy("kind", "key1", "key2")
+    )
 
 
-_SQL_AGG_SHAPES = """
-SELECT 'mktseg' AS kind, c_mktsegment AS key,
-       count(DISTINCT c_nationkey) AS a, count(*) AS b
+_SQL_AGG_ROLLUP_OPS = """
+SELECT 'mktseg' AS kind, c_mktsegment AS key1, CAST(NULL AS VARCHAR) AS key2,
+       CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS num, count(*) AS cnt
 FROM customer GROUP BY c_mktsegment
 UNION ALL
-SELECT 'order' AS kind, CAST(l_orderkey AS VARCHAR) AS key,
-       CAST(max(l_linenumber) AS BIGINT) AS a, count(*) AS b
+SELECT 'order' AS kind, CAST(l_orderkey AS VARCHAR) AS key1,
+       CAST(NULL AS VARCHAR) AS key2,
+       CAST(max(l_linenumber) AS DOUBLE) AS num, count(*) AS cnt
 FROM lineitem GROUP BY l_orderkey
-ORDER BY kind, key
+UNION ALL
+SELECT 'region' AS kind, r.r_name AS key1, CAST(NULL AS VARCHAR) AS key2,
+       CAST(NULL AS DOUBLE) AS num, count(*) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+UNION ALL
+SELECT 'lineitem' AS kind, l_returnflag AS key1, l_linestatus AS key2,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS num,
+       count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY kind, key1, key2
+"""
+
+
+def _q_corpus_profile(spark, sf_dir):
+    """Per-source corpus profile (operators/profile.py): counts, integer
+    char sums, language spread, DISCRETE rank-selected width quantiles
+    (value at rn == (n·q+99) div 100 under the deterministic (n_chars,
+    doc_id) order — engine-portable exact, unlike interpolated
+    percentiles), and the heavy-hitter language via the skew-proof
+    aggregate-then-rank election."""
+    from document_parser_spark.operators.profile import corpus_profile
+
+    return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CORPUS_PROFILE = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+quant AS (
+  SELECT source,
+         max(CASE WHEN rn = (n * 25 + 99) // 100 THEN n_chars END) AS chars_p25,
+         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS chars_p50,
+         max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS chars_p90
+  FROM ranked GROUP BY source
+),
+base AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source
+),
+lc AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+),
+top AS (
+  SELECT source, lang AS top_lang, c AS top_lang_docs,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS r
+  FROM lc
+)
+SELECT b.source, b.n_docs, b.chars_sum, b.n_langs,
+       q.chars_p25, q.chars_p50, q.chars_p90, t.top_lang, t.top_lang_docs
+FROM base b
+JOIN quant q USING (source)
+JOIN top t USING (source)
+WHERE t.r = 1
+ORDER BY b.source
 """
 
 
@@ -607,61 +709,6 @@ ORDER BY o_orderkey
 """
 
 
-def _q_rollup_ops(spark, sf_dir):
-    """Broadcast dim-join rollup + ROLLUP grouping sets in one tagged result
-    (round-4 registry fold of dim_rollup + rollup_agg for the 50-row driver
-    CORRECTNESS window).  Branch 'region': customer → nation → region
-    broadcast join chain counted per region; branch 'lineitem': ROLLUP over
-    (returnflag, linestatus) with decimal-exact quantity sums.  The dim
-    branch keeps its explicit broadcast() hints (plan gate
-    tests/test_plans.py asserts the exchange-free dim chain)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    dim = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lit("region").alias("kind"),
-            F.col("r_name").alias("key1"),
-            F.lit(None).cast("string").alias("key2"),
-            F.lit(None).cast("double").alias("sum_qty"),
-            "n",
-        )
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    rol = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            F.lit("lineitem").alias("kind"),
-            F.col("l_returnflag").alias("key1"),
-            F.col("l_linestatus").alias("key2"),
-            "sum_qty",
-            "n",
-        )
-    )
-    return dim.unionByName(rol).orderBy("kind", "key1", "key2")
-
-
-_SQL_ROLLUP_OPS = """
-SELECT 'region' AS kind, r.r_name AS key1, CAST(NULL AS VARCHAR) AS key2,
-       CAST(NULL AS DOUBLE) AS sum_qty, count(*) AS n
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-UNION ALL
-SELECT 'lineitem' AS kind, l_returnflag AS key1, l_linestatus AS key2,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       count(*) AS n
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY kind, key1, key2
-"""
 
 
 # ---- W-family: windows (oracled) --------------------------------------------
@@ -2239,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deliverables (repeated_passages, cluster_canonical):
     #   distinct_ratio + shape_agg     -> agg_shapes   (tagged union)
     #   dim_rollup     + rollup_agg    -> rollup_ops   (tagged union)
+    # round-4 session 5: agg_shapes + rollup_ops -> agg_rollup_ops (one
+    # 4-branch tagged union) made room for corpus_profile.
     # round-4 continuation: two more same-grain folds made room for
     # doc_containment + tfidf_topk:
     #   embedding_topk + ann_lsh_topk          -> ann_baselines  (tagged union)
@@ -2259,8 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_family": _q_minhash_family,
         "repeated_passages": _q_repeated_passages,
         "cluster_canonical": _q_cluster_canonical,
-        "agg_shapes": _q_agg_shapes,
-        "rollup_ops": _q_rollup_ops,
+        "corpus_profile": _q_corpus_profile,
+        "agg_rollup_ops": _q_agg_rollup_ops,
         "curation_assign": _q_curation_assign,
         "ann_sketch_topk": _q_ann_sketch,
         "media_features": _q_media_features,
@@ -2322,8 +2371,8 @@ def oracle_sql() -> dict[str, str]:
         "repeated_passages": _SQL_REPEATED_PASSAGES,
         "cluster_canonical": _SQL_CLUSTER_CANONICAL,
         "quality_signals": _SQL_QUALITY_SIGNALS,
-        "agg_shapes": _SQL_AGG_SHAPES,
-        "rollup_ops": _SQL_ROLLUP_OPS,
+        "corpus_profile": _SQL_CORPUS_PROFILE,
+        "agg_rollup_ops": _SQL_AGG_ROLLUP_OPS,
         "curation_assign": _SQL_CURATION_ASSIGN,
         "ann_sketch_topk": _SQL_ANN_SKETCH,
         "media_features": _SQL_MEDIA_FEATURES,

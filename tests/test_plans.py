@@ -57,7 +57,7 @@ def test_tpch_q1_partial_final_agg(spark):
 
 
 def test_dim_join_broadcasts(spark):
-    plan = plan_of(entrymod.queries()["rollup_ops"](spark, SF))
+    plan = plan_of(entrymod.queries()["agg_rollup_ops"](spark, SF))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
 
