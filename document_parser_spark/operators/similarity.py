@@ -37,6 +37,12 @@ Paths:
   * ``ann_topk``               — the single entry-point facade: routes to
     ``sketch_topk`` by default (the measured winner), with ``method=`` for
     the specialized paths.
+  * ``sketch_topk_from_index`` / ``ivf_sketch_topk_from_index`` — the same
+    queries against the PERSISTED index table (plans/ann_index.py builds
+    it; build-once / query-many): the corpus pass scans only the stored
+    64 B sketches and the float column is read exactly once, for the
+    rerank join.  Byte-identical to the inline twins; amortization
+    measured in BASELINE.md (scripts/ann_index_study.py).
 
 Determinism: hyperplane signs are the parity of the first md5 nibble of
 "plane:pos" — reproducible in Python (sign matrix is computed driver-side
