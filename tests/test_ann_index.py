@@ -140,6 +140,38 @@ def test_incremental_shard_indexes_against_corpus_quantizer(spark, emb, tmp_path
     assert stored == inline
 
 
+def test_index_and_floats_co_bucketed_join_exchange_free(spark, emb, built):
+    """The at-rest 100 TB layout: the index table and the float table
+    bucketed by vec_id make the rerank fetch (index-selected candidates →
+    float rows) a ZERO-exchange co-located join — neither corpus-sized side
+    shuffles (plans/bucketing.py; same gate as the cells index)."""
+    import uuid
+
+    from document_parser_spark.plans.bucketing import write_bucketed
+
+    out, _ = built
+    suffix = uuid.uuid4().hex[:8]
+    ti, te = f"annidx_{suffix}", f"annemb_{suffix}"
+    try:
+        index, _, _, _ = load_ann_index(spark, out)
+        write_bucketed(
+            index.select("vec_id", "cid", "sk"), ti, ["vec_id"],
+            num_buckets=8, sort_cols=["vec_id"],
+        )
+        write_bucketed(
+            emb.select("vec_id", "embedding"), te, ["vec_id"],
+            num_buckets=8, sort_cols=["vec_id"],
+        )
+        joined = spark.table(ti).hint("merge").join(spark.table(te), "vec_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == emb.count()
+    finally:
+        for t in (ti, te):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_from_index_plan_reads_floats_once(spark, emb, built, tmp_path):
     """The 100 TB contract of the stored index: the full-corpus pass scans
     only the index table; the embeddings parquet (float vectors) appears in
