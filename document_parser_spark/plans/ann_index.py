@@ -50,6 +50,15 @@ from .resume import completed_buckets, write_metrics, write_partitioned
 DEFAULT_BUCKETS = 64
 
 
+def _has_metrics(spark: SparkSession, metrics_dir: str) -> bool:
+    """True iff ANY bucket (any run_id) has a lineage row — the marker that
+    index rows exist on disk and the quantizer is no longer changeable."""
+    try:
+        return not spark.read.parquet(metrics_dir).isEmpty()
+    except Exception:
+        return False
+
+
 def _centroids_frame(
     spark: SparkSession, cids: np.ndarray, cmat: np.ndarray
 ) -> DataFrame:
@@ -116,6 +125,21 @@ def run_index_build_checkpointed(
         nlist = ivf_nlist(n)
     dim = probe_dim(embeddings, vec_col)
 
+    def _guard_layout(stored: dict, requested: tuple) -> None:
+        # A dial change would RECOMPUTE the quantizer — fatal if any bucket
+        # is already indexed against the old one (done buckets keep old
+        # cids/sketches while new buckets get new ones: a silently torn
+        # index).  Refuse instead; a fresh out_dir is the correct move.
+        keys = ("n", "nlist", "planes", "dim", "num_buckets")
+        if tuple(stored[k] for k in keys) != requested and _has_metrics(
+            spark, metrics_dir
+        ):
+            raise ValueError(
+                f"{out_dir} holds buckets indexed under {stored}; this "
+                f"invocation requests {dict(zip(keys, requested))} — a "
+                "quantizer/layout change cannot resume; use a fresh out_dir"
+            )
+
     # step 1: the quantizer must be FIXED before any bucket is written —
     # reuse stored centroids iff the meta dials match this invocation
     centroids_reused = False
@@ -132,31 +156,44 @@ def run_index_build_checkpointed(
         cids, cmat = load_centroids(spark, os.path.join(centroids_from, "centroids"))
         nlist = int(src_meta["nlist"])
         centroids_reused = True
+        # the mirror meta keeps the SOURCE quantizer provenance (n/nlist/
+        # planes/dim) but the SHARD's bucket layout; a re-attempt against a
+        # rebuilt corpus quantizer must not resume this shard's buckets
+        mirror = (
+            int(src_meta["n"]), nlist, planes, dim, num_buckets,
+        )
+        try:
+            local = spark.read.parquet(meta_dir).collect()[0].asDict()
+        except Exception:
+            local = None
+        if local is not None:
+            _guard_layout(local, mirror)
         # mirror the corpus quantizer verbatim into the shard dir so
-        # load_ann_index(shard_dir) is self-contained (meta keeps the
-        # SOURCE n — it describes the quantizer's provenance, not the shard)
+        # load_ann_index(shard_dir) is self-contained
         _centroids_frame(spark, cids, cmat).coalesce(1).write.mode(
             "overwrite"
         ).parquet(centroids_dir)
         spark.createDataFrame(
-            [tuple(src_meta[c] for c in ("n", "nlist", "planes", "dim"))],
-            "n long, nlist int, planes int, dim int",
+            [mirror], "n long, nlist int, planes int, dim int, num_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
         return _index_pass(
             spark, embeddings, cids, cmat, out_dir, run_id, num_buckets,
             planes, max_buckets_this_run, id_col, vec_col,
             t0, n, nlist, dim, centroids_reused,
         )
+    requested = (n, nlist, planes, dim, num_buckets)
     try:
         meta = spark.read.parquet(meta_dir).collect()[0].asDict()
-        if (meta["n"], meta["nlist"], meta["planes"], meta["dim"]) == (
-            n, nlist, planes, dim,
-        ):
-            cids, cmat = load_centroids(spark, centroids_dir)
-            centroids_reused = True
-        else:
-            raise ValueError(f"meta mismatch: stored {meta}")
     except Exception:
+        meta = None
+    if meta is not None and tuple(
+        meta[k] for k in ("n", "nlist", "planes", "dim", "num_buckets")
+    ) == requested:
+        cids, cmat = load_centroids(spark, centroids_dir)
+        centroids_reused = True
+    else:
+        if meta is not None:
+            _guard_layout(meta, requested)
         cids, cmat = ivf_centroids_kmeans(embeddings, nlist, id_col=id_col, vec_col=vec_col)
         _centroids_frame(spark, cids, cmat).coalesce(1).write.mode(
             "overwrite"
@@ -165,7 +202,7 @@ def run_index_build_checkpointed(
         # commit marker for step 1 (a crash between the two writes re-runs
         # the quantizer, never resumes buckets against torn centroids)
         spark.createDataFrame(
-            [(n, nlist, planes, dim)], "n long, nlist int, planes int, dim int"
+            [requested], "n long, nlist int, planes int, dim int, num_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
 
     return _index_pass(

@@ -116,9 +116,12 @@ def test_incremental_shard_indexes_against_corpus_quantizer(spark, emb, tmp_path
 
     corpus_index, cids, cmat, corpus_meta = load_ann_index(spark, corpus_out)
     shard_index, s_cids, s_cmat, shard_meta = load_ann_index(spark, shard_out)
-    # the shard dir is self-contained and carries the corpus quantizer verbatim
+    # the shard dir is self-contained and carries the corpus quantizer
+    # verbatim (its meta keeps the shard's OWN bucket layout)
     assert (s_cids == cids).all() and (s_cmat == cmat).all()
-    assert shard_meta == corpus_meta
+    for k in ("n", "nlist", "planes", "dim"):
+        assert shard_meta[k] == corpus_meta[k]
+    assert shard_meta["num_buckets"] == 4
 
     # NOTE: the corpus index here covers ALL of emb (built over the full
     # fixture), so restrict it to the corpus slice before the union
@@ -138,6 +141,26 @@ def test_incremental_shard_indexes_against_corpus_quantizer(spark, emb, tmp_path
         )
     )
     assert stored == inline
+
+
+def test_layout_change_with_indexed_buckets_refuses(spark, emb, built):
+    """A dial change (nlist, planes, num_buckets, corpus size) would
+    recompute the quantizer — fatal once any bucket is indexed against the
+    old one (done buckets keep old cids/sketches: a silently torn index).
+    The build must REFUSE, not recompute."""
+    out, stats = built
+    for kwargs in (
+        {"nlist": stats["nlist"] + 1},
+        {"num_buckets": 16},
+    ):
+        with pytest.raises(ValueError, match="cannot resume"):
+            run_index_build_checkpointed(
+                spark, emb, out, run_id="t1", num_buckets=kwargs.pop("num_buckets", 8),
+                **kwargs,
+            )
+    # matching dials still resume fine after the refused attempts
+    again = run_index_build_checkpointed(spark, emb, out, run_id="t1", num_buckets=8)
+    assert again["centroids_reused"] and again["buckets_done_before"] == 8
 
 
 def test_index_and_floats_co_bucketed_join_exchange_free(spark, emb, built):
