@@ -30,6 +30,31 @@ def test_exact_profile_bounds_and_determinism(spark):
     assert prof == corpus_profile(docs).collect()
 
 
+def test_rank_selection_matches_python_reference(spark):
+    """The discrete-quantile rank formula ((n·q+99) div 100 under the
+    (value, id) order) must match a plain-Python reference on edge shapes:
+    single-row groups, all-equal values, heavy ties, and a prime-sized
+    group (rank boundaries land mid-tie)."""
+    groups = {
+        "one": [7],
+        "flat": [5] * 10,
+        "ties": [1, 1, 1, 2, 2, 9, 9, 9, 9, 9],
+        "prime": list(range(100, 113)),  # 13 rows
+    }
+    rows = [
+        (g, i, v) for g, vals in groups.items() for i, v in enumerate(vals)
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    docs = docs.withColumn("lang", F.lit("en"))
+    got = {r["source"]: r for r in corpus_profile(docs).collect()}
+    for g, vals in groups.items():
+        ordered = sorted(vals)
+        n = len(ordered)
+        for q in (25, 50, 90):
+            expect = ordered[(n * q + 99) // 100 - 1]
+            assert got[g][f"chars_p{q}"] == expect, (g, q)
+
+
 def test_approx_twin_same_schema_and_bounds(spark):
     docs = load_table(spark, SF, "documents")
     exact = corpus_profile(docs)
