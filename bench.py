@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "dedup_clusters",
     "cluster_canonical",
     "tfidf_topk",
+    "corpus_profile",
 ]
 
 
