@@ -260,15 +260,22 @@ def _index_pass(
     write_partitioned(todo, index_dir)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
+    # lineage from the WRITTEN rows (durable truth, no UDF recompute), with
+    # the bucket filters BEFORE the aggregation so partition pruning reads
+    # only this run's buckets — post-agg filtering would scan every bucket
+    # of the index just to emit metrics for the few that resumed
+    written = spark.read.parquet(index_dir)
+    if done:
+        written = written.filter(~F.col("bucket").isin(sorted(done)))
+    if max_buckets_this_run is not None:
+        written = written.filter(F.col("bucket").isin(remaining))
     metrics = (
-        spark.read.parquet(index_dir)
-        .groupBy("bucket")
+        written.groupBy("bucket")
         .agg(
             F.count("*").alias("vec_count"),
             F.min("vec_id").alias("min_vec_id"),
             F.max("vec_id").alias("max_vec_id"),
         )
-        .filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
         .select(
             F.col("bucket").alias("partition_key"),
             F.lit(run_id).alias("run_id"),
@@ -278,8 +285,6 @@ def _index_pass(
             F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
     )
-    if max_buckets_this_run is not None:
-        metrics = metrics.filter(F.col("partition_key").isin(remaining))
     write_metrics(metrics, metrics_dir)
 
     manifest = spark.read.parquet(metrics_dir).filter(F.col("run_id") == run_id)
