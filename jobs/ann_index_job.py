@@ -39,6 +39,11 @@ def main() -> None:
     )
     parser.add_argument("--topk-out", default=None, help="parquet dir for --queries results")
     parser.add_argument("--k", type=int, default=10)
+    parser.add_argument(
+        "--method", choices=("sketch", "ivf_sketch"), default="sketch",
+        help="query path: flat sketch scan (default) or the probed "
+        "IVF->sketch composition for clustered corpora",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +59,7 @@ def main() -> None:
 
     from document_parser_spark.operators.similarity import (
         SKETCH_PLANES,
+        ivf_sketch_topk_from_index,
         sketch_topk_from_index,
     )
     from document_parser_spark.plans.ann_index import (
@@ -74,9 +80,16 @@ def main() -> None:
     )
 
     if args.queries:
-        index, _cids, _cmat, meta = load_ann_index(spark, args.output)
+        index, cids, cmat, meta = load_ann_index(spark, args.output)
         q = spark.read.parquet(args.queries)
-        topk = sketch_topk_from_index(index, emb, q, k=args.k, planes=meta["planes"])
+        if args.method == "ivf_sketch":
+            topk = ivf_sketch_topk_from_index(
+                index, cids, cmat, emb, q, k=args.k, planes=meta["planes"]
+            )
+        else:
+            topk = sketch_topk_from_index(
+                index, emb, q, k=args.k, planes=meta["planes"]
+            )
         if args.topk_out:
             topk.write.mode("overwrite").parquet(args.topk_out)
             stats["topk_rows"] = spark.read.parquet(args.topk_out).count()
