@@ -2249,13 +2249,27 @@ def _q_minhash_family(spark, sf_dir):
     a new shard (doc_id % 5 == 0) against the rest — new×all banding,
     old×old never regenerated."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    full = dedup.minhash_near_dup_pairs(d, shingle_k=5, threshold_pct=50).select(
-        F.lit("full").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union"
-    )
-    new = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = d.filter(F.col("doc_id") % 5 != 0)
-    inc = dedup.minhash_incremental_pairs(
-        new, corpus, shingle_k=5, threshold_pct=50
+    # ONE persisted signature frame feeds both branches (and both sides of
+    # each band self-join): the folded form computed signatures three times
+    # (full corpus + shard + corpus-remainder) and recomputed them per join
+    # side.  The signature frame is docs×bands narrow rows — far smaller
+    # than the shingled texts, the safe side of the repo's persist-vs-
+    # re-derive rule (A/B in BASELINE.md r04 fifth session).  Outputs are
+    # byte-identical: full == minhash_near_dup_pairs(d) (same normalized
+    # candidate set, same exact verify) and incremental == the previous
+    # minhash_incremental_pairs(new, corpus) (sig_all == sig_old ∪ sig_new
+    # row-for-row; banding is per-row deterministic).
+    from pyspark import StorageLevel
+
+    sig_all = dedup.minhash_signatures(
+        d, "text", dedup.DEFAULT_BANDS, 2, 5
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    full = dedup.minhash_pairs_from_signatures(
+        sig_all, sig_all, d, "text", 5, 50
+    ).select(F.lit("full").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union")
+    sig_new = sig_all.filter(F.col("doc_id") % 5 == 0)
+    inc = dedup.minhash_pairs_from_signatures(
+        sig_new, sig_all, d, "text", 5, 50
     ).select(F.lit("incremental").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union")
     return full.unionByName(inc).orderBy("branch", "doc_a", "doc_b")
 
