@@ -55,7 +55,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from bench import _scaled_embeddings_dir, _zipf_documents_dir
-    from document_parser_spark.operators import dedup, similarity, text
+    from document_parser_spark.operators import curation, dedup, similarity, text
     from document_parser_spark.sources.session import get_spark, load_table
     from pyspark.sql import functions as F
 
@@ -72,6 +72,11 @@ def main() -> None:
             "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(d, threshold_pct=50),
             "text_stats": lambda: text.text_stats(d),
             "language_id": lambda: text.language_id(d),
+            # r04 fifth-session additions: the new join/agg-bearing pipeline
+            # ops get the same 10x join-census treatment
+            "doc_containment": lambda: dedup.containment_pairs(d),
+            "tfidf_topk": lambda: text.tfidf_topk(d),
+            "repeated_passages": lambda: curation.repeated_passage_intervals(d),
         }
 
     def emb_ops(e):
