@@ -1885,8 +1885,11 @@ def _assert_oracle_corpus_size(e) -> None:
 
 
 _SKETCH_M = max(10, (_ORACLE_EMB_N * similarity.RERANK_FRAC_PCT + 99) // 100)
-_SQL_ANN_SKETCH = f"""
-WITH dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+
+# Shared 512-plane sign-sketch scaffolding (mirrors similarity._sketch_udf
+# exactly: int64 projections against md5-parity planes, 32-bit packed words)
+# — used by the sketch-ANN oracle and the sketch-candidate near-dup oracle.
+_SQL_SKETCH_COMMON = f"""dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
 signs AS (
   SELECT p.plane, g.pos,
          CASE WHEN ('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':' || CAST(g.pos AS VARCHAR)), 1, 1))::INT % 2 = 1
@@ -1909,7 +1912,10 @@ sk AS (
   SELECT vec_id, plane // {similarity.SKETCH_WORD_BITS} AS word,
          sum(CASE WHEN proj > 0 THEN 1::BIGINT << (plane % {similarity.SKETCH_WORD_BITS}) ELSE 0 END) AS w
   FROM proj GROUP BY vec_id, plane // {similarity.SKETCH_WORD_BITS}
-),
+)"""
+
+_SQL_ANN_SKETCH = f"""
+WITH {_SQL_SKETCH_COMMON},
 ham AS (
   SELECT q.vec_id AS query_id, e.vec_id, sum(bit_count(xor(e.w, q.w))) AS hamming
   FROM sk e JOIN sk q ON q.word = e.word
@@ -2043,11 +2049,19 @@ _SQL_IVF_TOPK = _ivf_sql(
     similarity.ivf_nprobe(similarity.ivf_nlist(_ORACLE_EMB_N)),
     similarity.LLOYD_ITERS,
 )
+# Sketch-candidate near-dup (VERDICT r04 item 4): candidates are pairs whose
+# 512-bit sketch hamming ≤ the threshold-derived cutoff (217 for cos 0.45 —
+# the SAME integer the Spark side derives), exact integer-cosine verify.
+# The Spark side's block-pair join is a plan detail: every unordered pair
+# meets exactly once there too, so a plain hamming self-join mirrors it.
+_NEAR_DUP_MAX_HAMMING = similarity.sketch_near_dup_max_hamming(0.45)
 _SQL_EMBEDDING_NEAR_DUP = f"""
-WITH {_SQL_LSH_COMMON},
+WITH {_SQL_SKETCH_COMMON},
 cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sk a JOIN sk b ON a.word = b.word AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+  HAVING sum(bit_count(xor(a.w, b.w))) <= {_NEAR_DUP_MAX_HAMMING}
 ),
 dots AS (
   SELECT c.id_a, c.id_b, sum(ea.ival * eb.ival) AS dot

@@ -267,6 +267,24 @@ def bench_once(
     return result
 
 
+#: fixed single-thread control workload (docs parsed) — small enough to add
+#: ~1-2 s per bench run, big enough that its wall time tracks ambient load
+HW_CONTROL_DOCS = 300
+
+
+def _hw_control_sec(n_docs: int = HW_CONTROL_DOCS) -> float:
+    """Ambient-load control (VERDICT r04 item 5): a FIXED single-thread
+    CPU workload (kernel-parse n synthetic docs, no Spark) timed alongside
+    the bench.  Its wall time moves with the box's co-tenant load, so a
+    BENCH_rN row can be read relative to the machine's state in that window
+    instead of adjudicated by hand — r04's query medians sat 1.5-3× over
+    round-close purely by window."""
+    _mp_work(range(5))  # warm imports + corpus synth so pre/post compare
+    t0 = time.monotonic()
+    _mp_work(range(n_docs))
+    return round(time.monotonic() - t0, 3)
+
+
 def _kill_leftovers() -> None:
     """Orphaned pyspark daemons from a previous (timed-out) run poison
     scaling measurements; clear them between runs."""
@@ -828,6 +846,7 @@ def main() -> None:
         print(json.dumps({"growth": growth_study()}))
         return
 
+    hw_pre = _hw_control_sec()
     result = bench_once(
         args.cpus,
         args.sf_dir,
@@ -835,6 +854,7 @@ def main() -> None:
         docs=args.docs,
         repeats=args.repeats,
     )
+    hw_post = _hw_control_sec()
     if args.internal_json:
         print(json.dumps(result))
         return
@@ -842,33 +862,60 @@ def main() -> None:
     queries = dict(result.get("queries", {}))
     queries["extract_pipeline"] = round(result["extract"]["wall_sec"], 3)
     stats = result.get("query_stats", {})
+    # The final stdout line must stay COMPACT (< ~2 KB): the driver captures
+    # only the tail of stdout, and r04's stats-laden single line overflowed
+    # it — BENCH_r04.json recorded "parsed": null and the machine-readable
+    # perf record was lost (VERDICT r04 item 1).  Headline medians + totals
+    # go on the line; per-query best/raw-runs, extras, and scaling detail go
+    # to the BENCH_STATS.json sidecar next to this script.
     payload = {
         "metric": "total_bench_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
-        "queries_best": {n: s["best"] for n, s in stats.items()},
         "bench_repeats": args.repeats,
         "sf": result["sf"],
         "cpus": result["cpus"],
         "extract_docs_per_sec": round(result["extract"]["docs_per_sec"], 1),
         "extract_docs": result["extract"]["docs"],
         "extract_spans": result["extract"]["spans"],
-        **result.get("query_extras", {}),
+        # fixed single-thread workload timed before/after the run: read the
+        # query rows relative to these (ambient co-tenant load normalizer)
+        "hw_control_sec": [hw_pre, hw_post],
     }
+    extras = result.get("query_extras", {})
+    for key in (
+        "ann_lsh_recall_at_10",
+        "ann_ivf_recall_at_10",
+        "ann_sketch_recall_at_10",
+        "ann_ivf_probed_fraction",
+        "ann_sketch_scored_fraction",
+    ):
+        if key in extras:
+            payload[key] = extras[key]
     if "html_extract" in result:
         payload["extract_html_docs_per_sec"] = round(
             result["html_extract"]["docs_per_sec"], 1
         )
+    sidecar = {
+        **payload,
+        "queries_best": {n: s["best"] for n, s in stats.items()},
+        "query_stats": stats,
+        **extras,
+    }
     if args.scaling:
         payload["scaling"] = scaling_study(args.sf_dir)
+        sidecar["scaling"] = payload["scaling"]
     else:
-        payload["scaling_evidence"] = (
-            "run `python bench.py --scaling`; measured round-2 numbers in "
-            "BASELINE.md: 4→16 cores 3254→12110 docs/s, efficiency 0.93 "
-            "(hw control 0.65 in the same window)"
-        )
-    print(json.dumps(payload))
+        payload["scaling_evidence"] = "see BASELINE.md / `bench.py --scaling`"
+    sidecar_path = os.path.join(REPO, "BENCH_STATS.json")
+    with open(sidecar_path, "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    payload["stats_file"] = "BENCH_STATS.json"
+    line = json.dumps(payload)
+    # hard guard: the whole point is fitting the driver's tail capture
+    assert len(line) < 2800, f"bench stdout line too long ({len(line)} B)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -903,27 +903,33 @@ def ann_topk(
     return fn(embeddings, queries, k=k, **kwargs)
 
 
-def cosine_near_dup_pairs(
+def sketch_near_dup_max_hamming(
+    threshold: float, planes: int = SKETCH_PLANES
+) -> int:
+    """Hamming cutoff for sketch-candidate near-dup generation: the MIDPOINT
+    between the expected sketch hamming of a pair exactly AT the cosine
+    threshold (planes·acos(t)/π — the hyperplane collision probability) and
+    the isotropic-bulk mean (planes/2).  No tuned constants: for t=0.45 and
+    512 planes this is 217, sitting >2σ above every measured true pair
+    (max 194 at sf0.01) while admitting ~5% of the bulk (vs the banded-LSH
+    candidate fraction of ~40% this replaced — VERDICT r04 item 4).  The
+    same integer is baked into the DuckDB oracle, so the cutoff can never
+    drift between engines."""
+    import math
+
+    f = math.acos(threshold) / math.pi
+    return int(planes * (f + 0.5) / 2)
+
+
+def _verify_pairs_exact(
+    cand: DataFrame,
     embeddings: DataFrame,
-    threshold: float = 0.45,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    bands: int = BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: banded-LSH candidates, exact
-    integer cosine verify.  Never all-pairs; candidates bounded by bucket
-    population per band."""
-    dim = probe_dim(embeddings, vec_col)
-    bb = lsh_band_buckets(embeddings, dim, id_col, vec_col, bands, rows_per_band)
-    a = bb.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = bb.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    """Shared near-dup tail: fetch float vectors for CANDIDATE rows only,
+    exact integer-cosine score, keep pairs ≥ threshold."""
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -933,3 +939,103 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sketch",
+    blocks: int = 8,
+    planes: int = SKETCH_PLANES,
+    max_hamming: int | None = None,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sketch-hamming candidates
+    (default) or banded-LSH candidates, exact integer cosine verify.
+
+    ``method="sketch"`` (VERDICT r04 item 4): candidates are pairs whose
+    512-bit sign-sketch hamming distance ≤ ``max_hamming`` (derived from the
+    cosine threshold by ``sketch_near_dup_max_hamming`` unless given).  The
+    pair enumeration is a BLOCK-PAIR equi-join, never a cartesian: each row
+    lands in block ``xxhash64(id) % blocks`` and is replicated to the
+    block-pairs it participates in (lo side: pairs (b, b..B-1); hi side:
+    pairs (0..b, b)), so every unordered row pair meets exactly once, the
+    shuffle moves n·B sketch rows of ~72 B, and the n²/2 XOR+POPCNT pair ops
+    spread over B(B+1)/2 join groups in whole-stage codegen.  Only pairs
+    passing the hamming cutoff ever touch the float vectors.  Measured at
+    sf0.01: candidate fraction 5.3% vs the LSH path's 40% (7.5× less exact
+    verify), recall 14/14 exact pairs where LSH's band join found 11/14.
+
+    ``method="lsh"`` keeps the previous banded-LSH candidate generator as a
+    cross-checking twin (b=8/r=4 → ~40% candidate fraction on isotropic
+    data; candidates bounded by bucket population per band)."""
+    if method == "lsh":
+        dim = probe_dim(embeddings, vec_col)
+        bb = lsh_band_buckets(embeddings, dim, id_col, vec_col, bands, rows_per_band)
+        a = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+        b = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+        cand = (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
+    if method != "sketch":
+        raise ValueError(f"unknown near-dup method {method!r}; 'sketch' or 'lsh'")
+
+    if max_hamming is None:
+        max_hamming = sketch_near_dup_max_hamming(threshold, planes)
+    dim = probe_dim(embeddings, vec_col)
+    udf = _sketch_udf(dim, planes)
+    words = planes // SKETCH_WORD_BITS
+    sk = embeddings.select(
+        F.col(id_col).alias("id"),
+        udf(F.col(vec_col)).alias("sk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
+    )
+    # lo side owns block-pairs (blk, j) for j ≥ blk; hi side (i, blk) for
+    # i ≤ blk — an unordered pair of rows in blocks (p, q), p ≤ q, meets in
+    # exactly one join group: pk = p·B + q.
+    lo = sk.select(
+        F.col("id").alias("id_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("blk").alias("blk_a"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(blocks - 1)),
+                lambda j: F.col("blk") * blocks + j,
+            )
+        ).alias("pk"),
+    )
+    hi = sk.select(
+        F.col("id").alias("id_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("blk").alias("blk_b"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: i * blocks + F.col("blk"),
+            )
+        ).alias("pk"),
+    )
+    hamming = sum(
+        F.bit_count(F.col("sk_a").getItem(i).bitwiseXOR(F.col("sk_b").getItem(i)))
+        for i in range(words)
+    )
+    cand = (
+        lo.join(hi, "pk")
+        # same-block group (pk = (b,b)) holds every ordered pair — halve it;
+        # cross-block groups already see each unordered pair exactly once
+        .filter((F.col("blk_a") != F.col("blk_b")) | (F.col("id_a") < F.col("id_b")))
+        .filter(hamming <= F.lit(max_hamming))
+        # cross-block pairs carry block order, not id order — normalize
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)

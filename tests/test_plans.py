@@ -234,6 +234,11 @@ def test_candidate_generation_has_no_midstream_sort(spark):
         p = plan_of(q)
         assert p.lower().count("rangepartitioning") <= 1, p
 
+    # the sketch-candidate near-dup pair enumeration is a block-pair
+    # EQUI-join (pk), never a cartesian/nested-loop over the corpus
+    p = plan_of(similarity.cosine_near_dup_pairs(e, threshold=0.45))
+    assert "CartesianProduct" not in p, p
+
 
 def test_gopher_gate_single_pass_no_join(spark):
     """gopher_gate is ONE explode → ONE two-level aggregation: no joins, no
