@@ -1857,13 +1857,65 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 def _q_ann_sketch(spark, sf_dir):
-    """Hamming-sketch rerank ANN — the measured scale path on this corpus:
-    recall@10 = 0.995 at a 10% exactly-scored fraction (sf0.1), where IVF and
-    banded LSH cap at ~0.6-0.78 (the embeddings are isotropic; partition
-    membership is nearly independent of cosine neighborhoods)."""
+    """Hamming-sketch ANN family in one tagged result (round-5 fold —
+    VERDICT r04 items 3+7: the newest ANN surfaces land under the driver
+    hash without exceeding the 50-row window).
+
+      * branch 'flat'       — ``ann_topk`` default route → ``sketch_topk``:
+        the measured scale path on this corpus (recall@10 = 1.0 at a 10%
+        exactly-scored fraction at sf0.1, where IVF and banded LSH cap at
+        ~0.56-0.78 — the embeddings are isotropic; partition membership is
+        nearly independent of cosine neighborhoods);
+      * branch 'ivf_sketch' — ``ann_topk(method='ivf_sketch')``: the
+        IVF→sketch→exact composition (the clustered-corpus scale path);
+        recall here inherits the isotropic probe ceiling, but its PROBE →
+        hamming-rank → bounded exact-rerank semantics are what the hash
+        attests;
+      * branch 'from_index' — ``sketch_topk_from_index`` over the PERSISTED
+        index (plans/ann_index.py), built (then resumed as a no-op) inside
+        the query under .tmp/: byte-equality with branch 'flat' puts the
+        at-rest (vec_id, cid, sk) layout and its parquet roundtrip under
+        the driver oracle — the SQL mirror for this branch IS the flat
+        sketch SQL, so any index corruption hash-mismatches."""
+    import os
+
+    from document_parser_spark.plans.ann_index import (
+        load_ann_index,
+        run_index_build_checkpointed,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     _assert_oracle_corpus_size(e)
-    return similarity.sketch_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    q = e.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "vec_id", "cos_sim", "rank"]
+    flat = similarity.ann_topk(e, q, k=10, method="sketch").select(
+        F.lit("flat").alias("branch"), *cols
+    )
+    comp = similarity.ann_topk(e, q, k=10, method="ivf_sketch").select(
+        F.lit("ivf_sketch").alias("branch"), *cols
+    )
+    # dial+corpus-keyed dir: a layout change lands in a fresh path instead
+    # of tripping the torn-index guard, and DIFFERENT sf dirs never share an
+    # index — sf0.001 and sf0.01 both hold 500 embeddings, so the (n, nlist,
+    # planes, dim) guard alone cannot tell their corpora apart (a shared dir
+    # made from_index serve the other sf's vectors — caught by this fold's
+    # flat-equality contract in the suite)
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp",
+        f"ann_index_oracle_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_n{_ORACLE_EMB_N}_p{similarity.SKETCH_PLANES}",
+    )
+    run_index_build_checkpointed(spark, e, out_dir, run_id="oracle", num_buckets=8)
+    index, _cids, _cmat, _meta = load_ann_index(spark, out_dir)
+    fidx = similarity.sketch_topk_from_index(index, e, q, k=10).select(
+        F.lit("from_index").alias("branch"), *cols
+    )
+    return (
+        flat.unionByName(comp)
+        .unionByName(fidx)
+        .orderBy("branch", "query_id", "rank")
+    )
 
 
 #: The static DuckDB oracles for sketch/IVF bake dials derived from the
@@ -1960,12 +2012,15 @@ def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
-def _ivf_sql(nlist: int, nprobe: int, iters: int) -> str:
-    """DuckDB mirror of similarity.ivf_topk INCLUDING the integer-exact
-    Lloyd refinement: cv{{i}} = (cid, pos, cval) centroid components per
-    round; assignment = argmax dot/|centroid| (ties → lowest cid); update =
-    portable floor-mean (subtract canonical mod, then integer-divide —
-    truncating and flooring division agree on an exact multiple)."""
+def _ivf_prefix_sql(nlist: int, nprobe: int, iters: int) -> str:
+    """The WITH-body of the IVF mirror through ``assign``/``probe`` —
+    shared by the full IVF oracle (exact rerank of every probed member)
+    and the IVF→sketch composition oracle (hamming-rank the probed slice
+    first).  Includes the integer-exact Lloyd refinement: cv{{i}} =
+    (cid, pos, cval) centroid components per round; assignment = argmax
+    dot/|centroid| (ties → lowest cid); update = portable floor-mean
+    (subtract canonical mod, then integer-divide — truncating and flooring
+    division agree on an exact multiple)."""
     fdiv = "(s - (((s % c) + c) % c)) // c"
     sql = [f"""WITH {_SQL_LSH_COMMON},
 cents AS (
@@ -2014,7 +2069,14 @@ rk AS (
   FROM scF s JOIN cnF n ON n.cid = s.cid
 ),
 assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
-probe AS (SELECT vec_id AS query_id, cid FROM rk WHERE vec_id < 5 AND rn <= {nprobe}),
+probe AS (SELECT vec_id AS query_id, cid FROM rk WHERE vec_id < 5 AND rn <= {nprobe})""")
+    return "".join(sql)
+
+
+def _ivf_sql(nlist: int, nprobe: int, iters: int) -> str:
+    """DuckDB mirror of similarity.ivf_topk: probe the ``nprobe`` nearest
+    refined lists, exactly score every probed member, top-k."""
+    return _ivf_prefix_sql(nlist, nprobe, iters) + """,
 cand AS (
   SELECT DISTINCT p.query_id, a.vec_id
   FROM probe p JOIN assign a ON a.cid = p.cid
@@ -2038,17 +2100,104 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")
-    return "".join(sql)
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
+def _ivf_sketch_sql(nlist: int, nprobe: int, iters: int, m: int, k: int) -> str:
+    """DuckDB mirror of similarity.ivf_sketch_topk (the IVF→sketch→exact
+    composition): the IVF prefix supplies the refined quantizer, per-vector
+    list assignment, and per-query probes; the probed slice is then
+    hamming-ranked on the 512-bit sign sketch (renamed CTEs — the LSH
+    prefix already owns ``signs``/``proj`` for its 32 planes) and only the
+    ``m`` hamming-nearest probed members are exactly re-scored."""
+    return _ivf_prefix_sql(nlist, nprobe, iters) + f""",
+sksigns AS (
+  SELECT p.plane, g.pos,
+         CASE WHEN ('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':' || CAST(g.pos AS VARCHAR)), 1, 1))::INT % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM unnest(generate_series(0, {similarity.SKETCH_PLANES - 1})) AS p(plane),
+       dims, unnest(generate_series(0, dim - 1)) AS g(pos)
+),
+skproj AS (
+  SELECT ev.vec_id, s.plane, sum(ev.ival * s.sign) AS proj
+  FROM ev JOIN sksigns s ON s.pos = ev.pos
+  GROUP BY ev.vec_id, s.plane
+),
+sk AS (
+  SELECT vec_id, plane // {similarity.SKETCH_WORD_BITS} AS word,
+         sum(CASE WHEN proj > 0 THEN 1::BIGINT << (plane % {similarity.SKETCH_WORD_BITS}) ELSE 0 END) AS w
+  FROM skproj GROUP BY vec_id, plane // {similarity.SKETCH_WORD_BITS}
+),
+probed AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+skham AS (
+  SELECT c.query_id, c.vec_id, sum(bit_count(xor(e.w, q.w))) AS hamming
+  FROM probed c
+  JOIN sk e ON e.vec_id = c.vec_id
+  JOIN sk q ON q.vec_id = c.query_id AND q.word = e.word
+  GROUP BY c.query_id, c.vec_id
+),
+skcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS rn
+    FROM skham
+  ) WHERE rn <= {m}
+),
+skdots AS (
+  SELECT c.query_id, c.vec_id, sum(ea.ival * eb.ival) AS dot
+  FROM skcand c
+  JOIN ev ea ON ea.vec_id = c.vec_id
+  JOIN ev eb ON eb.vec_id = c.query_id AND eb.pos = ea.pos
+  GROUP BY c.query_id, c.vec_id
+),
+skscored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nq.nsq AS DOUBLE))) AS cos_sim
+  FROM skdots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nq ON nq.vec_id = d.query_id
+),
+skranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM skscored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM skranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 # Dials pinned to the driver's comparison corpus (sf0.01: 500 vectors →
 # nlist 22, nprobe 2); the Spark side derives the SAME values from count().
-_SQL_IVF_TOPK = _ivf_sql(
-    similarity.ivf_nlist(_ORACLE_EMB_N),
-    similarity.ivf_nprobe(similarity.ivf_nlist(_ORACLE_EMB_N)),
-    similarity.LLOYD_ITERS,
+_IVF_NLIST = similarity.ivf_nlist(_ORACLE_EMB_N)
+_IVF_NPROBE = similarity.ivf_nprobe(_IVF_NLIST)
+_SQL_IVF_TOPK = _ivf_sql(_IVF_NLIST, _IVF_NPROBE, similarity.LLOYD_ITERS)
+
+# rerank budget of the IVF→sketch composition — MIRRORS
+# similarity._ivf_sketch_from_side: rerank_frac of the EXPECTED probed-set
+# size, floored at 4·k (the slack that lets hamming misrankings wash out).
+_IVF_SKETCH_M = max(
+    4 * 10,
+    (max(1, (_ORACLE_EMB_N * _IVF_NPROBE) // _IVF_NLIST)
+     * similarity.RERANK_FRAC_PCT + 99) // 100,
 )
+_SQL_IVF_SKETCH = _ivf_sketch_sql(
+    _IVF_NLIST, _IVF_NPROBE, similarity.LLOYD_ITERS, _IVF_SKETCH_M, 10
+)
+
+# The ann_sketch_topk fold: branch 'from_index' is byte-equal to 'flat' BY
+# CONTRACT (same sketch semantics, corpus side read from the persisted
+# index) — mirroring it with the flat SQL makes any at-rest corruption a
+# hash mismatch.
+_SQL_ANN_SKETCH_FOLD = f"""
+SELECT 'flat' AS branch, * FROM ({_SQL_ANN_SKETCH})
+UNION ALL
+SELECT 'from_index' AS branch, * FROM ({_SQL_ANN_SKETCH})
+UNION ALL
+SELECT 'ivf_sketch' AS branch, * FROM ({_SQL_IVF_SKETCH})
+ORDER BY branch, query_id, rank
+"""
 # Sketch-candidate near-dup (VERDICT r04 item 4): candidates are pairs whose
 # 512-bit sketch hamming ≤ the threshold-derived cutoff (217 for cos 0.45 —
 # the SAME integer the Spark side derives), exact integer-cosine verify.
@@ -2402,7 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "agg_rollup_ops": _SQL_AGG_ROLLUP_OPS,
         "curation_assign": _SQL_CURATION_ASSIGN,
-        "ann_sketch_topk": _SQL_ANN_SKETCH,
+        "ann_sketch_topk": _SQL_ANN_SKETCH_FOLD,
         "media_features": _SQL_MEDIA_FEATURES,
         "merged_cell_spans": _SQL_MERGED_CELL_SPANS,
         "filter_modes": _SQL_FILTER_MODES,

@@ -53,6 +53,29 @@ _BLOCK_TAGS = frozenset(
 _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _WS_RX = re.compile(r"\s+")
 
+
+def _collapse_ws(s: str) -> str:
+    """``_WS_RX.sub(" ", s).strip()`` with a fast path: 97% of flushed
+    chunks/cells in the measured corpus contain no collapsible whitespace
+    (r05 profile — the sub was 8.8% of the single-thread HTML parse), and
+    for those ``strip()`` alone is output-identical.  The precheck is exact:
+    ascii-only (``\\s`` is unicode-aware — a \\xa0 must reach the regex),
+    none of the ascii whitespace chars the sub would rewrite, and no
+    double-space run (lone interior spaces are already canonical; edge
+    spaces are strip()'s job either way)."""
+    if (
+        s.isascii()
+        and "\t" not in s
+        and "\n" not in s
+        and "\r" not in s
+        and "\x0b" not in s
+        and "\x0c" not in s
+        and "  " not in s
+    ):
+        return s.strip()
+    return _WS_RX.sub(" ", s).strip()
+
+
 MAX_CONTENT_DEPTH = 12
 LINK_DENSITY_MAX = 0.8
 
@@ -114,7 +137,7 @@ class _DomScanner(HTMLParser):
         self._chunk_boiler = False
         if not stripped:
             return
-        text = normalize_scripts(_WS_RX.sub(" ", joined).strip())
+        text = normalize_scripts(_collapse_ws(joined))
         chunk_chars = len(stripped)
         if not text:
             return
@@ -141,9 +164,7 @@ class _DomScanner(HTMLParser):
 
     def _emit_table(self) -> None:
         rows = [r for r in (self._table_rows or []) if any(c.strip() for c in r)]
-        caption = normalize_scripts(
-            _WS_RX.sub(" ", "".join(self._caption or [])).strip()
-        )
+        caption = normalize_scripts(_collapse_ws("".join(self._caption or [])))
         self._table_rows, self._row, self._cell, self._caption = None, None, None, None
         if len(rows) < 2:
             return
@@ -203,7 +224,7 @@ class _DomScanner(HTMLParser):
                 # the inner rows join the outer grid as rows of their own
                 self._table_depth += 1
                 if self._cell is not None and self._row is not None:
-                    self._row.append(_WS_RX.sub(" ", "".join(self._cell)).strip())
+                    self._row.append(_collapse_ws("".join(self._cell)))
                     self._cell = None
                 if self._row:
                     self._table_rows.append(self._row)
@@ -255,7 +276,7 @@ class _DomScanner(HTMLParser):
         if self._table_rows is not None:
             if tag in ("td", "th") and self._cell is not None:
                 self._row = self._row if self._row is not None else []
-                self._row.append(_WS_RX.sub(" ", "".join(self._cell)).strip())
+                self._row.append(_collapse_ws("".join(self._cell)))
                 self._cell = None
             elif tag == "tr" and self._row is not None:
                 self._table_rows.append(self._row)
@@ -383,10 +404,11 @@ def _fast_feed(sc: _DomScanner, raw: str) -> bool:
             m = _FAST_STARTTAG_RX.match(raw, lt)
             if m is None:
                 return False
-            tag = m.group(1).lower()
-            attrs = _img_attrs(m.group(2)) if tag == "img" else []
+            tag, attr_s, slash = m.group(1, 2, 3)
+            tag = tag.lower()
+            attrs = _img_attrs(attr_s) if tag == "img" else []
             pos = m.end()
-            if m.group(3):
+            if slash:
                 sc.handle_startendtag(tag, attrs)
                 continue
             sc.handle_starttag(tag, attrs)
