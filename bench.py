@@ -783,6 +783,17 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
                 cand = max(10, (n * similarity.RERANK_FRAC_PCT + 99) // 100) * 5
             record(op, n, wall, cand, n_out)
 
+        # embedding near-dup (r05 sketch-candidate path): the hamming scan
+        # is n²/2 cheap ops BY DESIGN (64-byte sketch rows); the growth
+        # signal is the VERIFY bill — candidates (counted from the executed
+        # block-pair join, outside the timed window like ngram) must track
+        # true pairs, and on isotropic embeddings BOTH grow ~n² (cos≥0.45
+        # tail density is size-independent) — output-bound, not a leak
+        cand = similarity.sketch_near_dup_candidates(e, threshold=0.45).count()
+        t0 = time.monotonic()
+        pairs = similarity.cosine_near_dup_pairs(e, threshold=0.45).count()
+        record("embedding_near_dup", n, time.monotonic() - t0, cand, pairs)
+
     lo, hi = (str(s) for s in sizes)
     # provenance of the candidate counts, so derived numbers can't read as
     # measurements: minhash/simhash/ivf/ngram are counted from executed
@@ -792,7 +803,7 @@ def growth_study(sizes=(2_000, 20_000)) -> dict:
         "minhash": "measured", "simhash": "measured", "ann_ivf": "measured",
         "ann_sketch": "by-construction", "ngram_jaccard": "measured",
         "minhash_zipf": "measured", "simhash_zipf": "measured",
-        "ngram_jaccard_zipf": "measured",
+        "ngram_jaccard_zipf": "measured", "embedding_near_dup": "measured",
     }
     for op, rows in out["ops"].items():
         rows["candidate_basis"] = basis.get(op, "measured")

@@ -987,6 +987,24 @@ def cosine_near_dup_pairs(
     if method != "sketch":
         raise ValueError(f"unknown near-dup method {method!r}; 'sketch' or 'lsh'")
 
+    cand = sketch_near_dup_candidates(
+        embeddings, threshold, id_col, vec_col, blocks, planes, max_hamming
+    )
+    return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
+
+
+def sketch_near_dup_candidates(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 8,
+    planes: int = SKETCH_PLANES,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """The sketch-hamming candidate pairs (id_a, id_b) that
+    ``cosine_near_dup_pairs`` exactly verifies — public so the growth study
+    can count the verify bill from the executed join."""
     if max_hamming is None:
         max_hamming = sketch_near_dup_max_hamming(threshold, planes)
     dim = probe_dim(embeddings, vec_col)
@@ -1026,7 +1044,7 @@ def cosine_near_dup_pairs(
         F.bit_count(F.col("sk_a").getItem(i).bitwiseXOR(F.col("sk_b").getItem(i)))
         for i in range(words)
     )
-    cand = (
+    return (
         lo.join(hi, "pk")
         # same-block group (pk = (b,b)) holds every ordered pair — halve it;
         # cross-block groups already see each unordered pair exactly once
@@ -1038,4 +1056,3 @@ def cosine_near_dup_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
     )
-    return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
