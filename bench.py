@@ -128,6 +128,62 @@ def run_extraction(spark, n_docs: int) -> dict:
     }
 
 
+def run_span_match(spark) -> dict:
+    """North-rule correctness metric (BASELINE.json: "documents/sec AND
+    span-sequence exact-match rate"): Spark-parse the golden corpus
+    (fixtures ∪ sf0.01 documents — the corpus scripts/build_golden.py pins)
+    and compare every document's FULL ordered span sequence
+    (seq, kind, text, media_ref, offset) against golden/sf0.01/spans.parquet
+    with two exceptAll passes (posexplode's seq makes multiset equality of
+    these rows sequence equality per doc).  Pinned to sf0.01 regardless of
+    --sf-dir: the rate is a corpus-pinned exactness check, not a throughput
+    row — the throughput rows above scale with sf."""
+    from pyspark.sql import functions as F
+
+    from document_parser_spark.operators.extract import (
+        assemble_document_text,
+        parse_documents,
+    )
+    from document_parser_spark.sources.data import (
+        fixture_input_df,
+        flat_documents_df,
+        lift_flat_to_input,
+    )
+
+    golden = os.path.join(REPO, "golden", "sf0.01", "spans.parquet")
+    sf_dir = "/root/testdata/sf0.01"
+    if not (os.path.exists(golden) and os.path.isdir(sf_dir)):
+        return {}
+    corpus = fixture_input_df(spark).unionByName(
+        lift_flat_to_input(flat_documents_df(spark, sf_dir).select("doc_id", "text"))
+    )
+    parsed = parse_documents(assemble_document_text(corpus)).persist()
+    n_docs = parsed.count()
+    mine = parsed.select("doc_id", F.posexplode("spans").alias("seq", "span")).select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").cast("long").alias("offset"),
+    )
+    gold = spark.read.parquet(golden).select(
+        "doc_id", "seq", "kind", "text", "media_ref", "offset"
+    )
+    mismatched_docs = (
+        mine.exceptAll(gold)
+        .select("doc_id")
+        .union(gold.exceptAll(mine).select("doc_id"))
+        .distinct()
+        .count()
+    )
+    parsed.unpersist()
+    return {
+        "span_match_rate": round((n_docs - mismatched_docs) / n_docs, 6),
+        "span_match_docs": n_docs,
+    }
+
+
 QUERY_NAMES = [
     # extraction+search over the corpus (the flagship path)
     "search_key_value_pathology",
@@ -260,6 +316,7 @@ def bench_once(
     result["extract"] = ext
     if not extract_only:
         result["html_extract"] = run_html_extraction(spark, max(500, (docs or extraction_docs(sf)) // 4))
+        result["span_match"] = run_span_match(spark)
         result["queries"], result["query_extras"], result["query_stats"] = run_queries(
             spark, sf_dir, repeats=repeats
         )
@@ -908,6 +965,9 @@ def main() -> None:
         payload["extract_html_docs_per_sec"] = round(
             result["html_extract"]["docs_per_sec"], 1
         )
+    # North-rule pair metric: span-sequence exact-match rate vs the golden
+    # kernel oracle (corpus-pinned to sf0.01; see run_span_match).
+    payload.update(result.get("span_match", {}))
     sidecar = {
         **payload,
         "queries_best": {n: s["best"] for n, s in stats.items()},
