@@ -974,12 +974,24 @@ def main() -> None:
         "query_stats": stats,
         **extras,
     }
+    sidecar_path = os.path.join(REPO, "BENCH_STATS.json")
     if args.scaling:
         payload["scaling"] = scaling_study(args.sf_dir)
         sidecar["scaling"] = payload["scaling"]
     else:
-        payload["scaling_evidence"] = "see BASELINE.md / `bench.py --scaling`"
-    sidecar_path = os.path.join(REPO, "BENCH_STATS.json")
+        # Carry the last measured scaling block forward (marked as such) so
+        # a default run neither clobbers the sidecar's scaling record nor
+        # ships a BENCH artifact with no north-rule scaling numbers at all.
+        try:
+            with open(sidecar_path) as fh:
+                prior_scaling = json.load(fh).get("scaling")
+        except (OSError, ValueError):
+            prior_scaling = None
+        if prior_scaling:
+            prior_scaling.setdefault("from_prior_scaling_run", True)
+            payload["scaling"] = prior_scaling
+            sidecar["scaling"] = prior_scaling
+        payload["scaling_evidence"] = "BASELINE.md r05 windows / `bench.py --scaling`"
     with open(sidecar_path, "w") as fh:
         json.dump(sidecar, fh, indent=1)
     payload["stats_file"] = "BENCH_STATS.json"
