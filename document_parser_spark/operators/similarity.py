@@ -941,35 +941,199 @@ def _verify_pairs_exact(
     )
 
 
+def near_dup_blocks(parallelism: int) -> int:
+    """Block count for the cogrouped pair pass: the smallest B whose
+    B(B+1)/2 equal-sized block-pair groups are ≥ 8× the session parallelism,
+    so the groups pack evenly over the cores (hash placement of G groups
+    into the partitions leaves a max-loaded partition ~2× the mean once
+    G/partitions ≥ 4 — the balls-in-bins tail).  Scale-adaptive, never a
+    constant tuned to one box; the pair SET is provably invariant to B
+    (tests/test_similarity.py)."""
+    b = 2
+    while b * (b + 1) // 2 < 8 * max(parallelism, 1):
+        b += 1
+    return b
+
+
+def _near_dup_pairs_grouped_arrow(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    blocks: int | None,
+    planes: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Block-pair near-dup in ONE cogrouped Arrow pass (guide §4.2/§8): the
+    shuffle moves each (id, vec) row B times (~0.5 KB·n·B total) and ALL
+    pair work — sketching, the n²/2 hamming evaluations, the exact integer
+    cosine verify — happens in numpy inside ``applyInPandas``, so no pair
+    row is ever materialized in the JVM and no candidate pair ever crosses
+    the Python boundary (the r05 join twin materialized every pair in the
+    SMJ and shipped ~5% of n²/2 candidate rows with BOTH float vectors
+    through Arrow for the verify — measured 74.7 s at n=20k vs 4-6 s for
+    this pass, OPTIMIZATION_r06.md).
+
+    Hamming via GEMM: h(a,b) = |a| + |b| − 2·(bits_a · bits_b) with the
+    512 sketch bits unpacked to float32 — dot products ≤ 512 are exact in
+    float32, so the cutoff comparison is integer-exact, identical to the
+    XOR+POPCNT twin (equality-gated in tests/test_similarity.py).  The
+    exact verify reuses the ``cosine_exact_arrow`` arithmetic verbatim:
+    int64 floor-scaled dot/norms, one IEEE double divide.
+
+    Each row lands in block ``xxhash64(id) % B``; the lo side is replicated
+    to block-pairs (b, b..B-1), the hi side to (0..b, b) — every unordered
+    pair meets in exactly one group (same enumeration as the join twin).
+    An explicit ``repartition(n, pk)`` pins the exchange width: without it
+    AQE coalesces the small-byte/huge-compute shuffle to ~2 partitions
+    (64 MB advisory) and the pair pass runs nearly serial — the single
+    biggest contributor to the r05 sf1 regression."""
+    spark = embeddings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if blocks is None:
+        blocks = near_dup_blocks(par)
+    npart = max(2 * par, 8)
+    dim = probe_dim(embeddings, vec_col)
+    signs = np.array(
+        [plane_signs(p, dim) for p in range(planes)], dtype=np.int64
+    ).T  # dim × planes
+    B, mh, thr = int(blocks), int(max_hamming), float(threshold)
+    id_dt = embeddings.schema[id_col].dataType.simpleString()
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("blk"),
+    )
+    lo = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(B - 1)),
+                lambda j: F.col("blk") * B + j,
+            )
+        ).alias("pk"),
+    ).repartition(npart, "pk")
+    hi = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: i * B + F.col("blk"),
+            )
+        ).alias("pk"),
+    ).repartition(npart, "pk")
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def pairs_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return _empty()
+        pk = int(key[0])
+        same_block = (pk // B) == (pk % B)
+        ida = left["id"].to_numpy()
+        idb = right["id"].to_numpy()
+        iva = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in left["vec"]]) * SCALE
+        ).astype(np.int64)
+        ivb = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in right["vec"]]) * SCALE
+        ).astype(np.int64)
+        ba = ((iva @ signs) > 0).astype(np.float32)
+        bb = ((ivb @ signs) > 0).astype(np.float32)
+        ca = ba.sum(axis=1)
+        cb = bb.sum(axis=1)
+        na = np.sqrt((iva * iva).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((ivb * ivb).sum(axis=1).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        # chunk the lo rows so the (chunk × nb) hamming plane stays ~32 MB
+        step = max(1, 4_000_000 // max(len(idb), 1))
+        for s in range(0, len(ida), step):
+            e = s + step
+            h = ca[s:e, None] + cb[None, :] - 2.0 * (ba[s:e] @ bb.T)
+            m = h <= mh
+            if same_block:
+                m &= ida[s:e, None] < idb[None, :]
+            ii, jj = np.nonzero(m)
+            # sub-chunk the verify gather so the (pairs × dim) int64
+            # temporaries stay bounded on candidate-dense groups
+            for v0 in range(0, len(ii), 1 << 16):
+                vi = ii[v0 : v0 + (1 << 16)]
+                vj = jj[v0 : v0 + (1 << 16)]
+                dot = (iva[s + vi] * ivb[vj]).sum(axis=1).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (na[s + vi] * nb[vj])
+                # Spark/DuckDB order NaN above every value, so a NaN cosine
+                # (zero-norm vector) passes the >= filter in both engines
+                keep = (cos >= thr) | np.isnan(cos)
+                if keep.any():
+                    pa = ida[s + vi[keep]]
+                    pb = idb[vj[keep]]
+                    flip = pb < pa
+                    out_a.append(np.where(flip, pb, pa))
+                    out_b.append(np.where(flip, pa, pb))
+                    out_c.append(cos[keep])
+        if not out_a:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    res = (
+        lo.groupBy("pk")
+        .cogroup(hi.groupBy("pk"))
+        .applyInPandas(pairs_fn, f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
+    )
+    return res.orderBy("id_a", "id_b")
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "sketch",
-    blocks: int = 8,
+    blocks: int | None = None,
     planes: int = SKETCH_PLANES,
     max_hamming: int | None = None,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sketch-hamming candidates
     (default) or banded-LSH candidates, exact integer cosine verify.
 
     ``method="sketch"`` (VERDICT r04 item 4): candidates are pairs whose
     512-bit sign-sketch hamming distance ≤ ``max_hamming`` (derived from the
-    cosine threshold by ``sketch_near_dup_max_hamming`` unless given).  The
-    pair enumeration is a BLOCK-PAIR equi-join, never a cartesian: each row
-    lands in block ``xxhash64(id) % blocks`` and is replicated to the
-    block-pairs it participates in (lo side: pairs (b, b..B-1); hi side:
-    pairs (0..b, b)), so every unordered row pair meets exactly once, the
-    shuffle moves n·B sketch rows of ~72 B, and the n²/2 XOR+POPCNT pair ops
-    spread over B(B+1)/2 join groups in whole-stage codegen.  Only pairs
-    passing the hamming cutoff ever touch the float vectors.  Measured at
-    sf0.01: candidate fraction 5.3% vs the LSH path's 40% (7.5× less exact
-    verify), recall 14/14 exact pairs where LSH's band join found 11/14.
+    cosine threshold by ``sketch_near_dup_max_hamming`` unless given).
+    ``impl`` picks the execution of the SAME pair definition:
 
-    ``method="lsh"`` keeps the previous banded-LSH candidate generator as a
+      * ``"arrow"`` (default, r06): one cogrouped numpy pass over block-pair
+        groups — sketching, hamming (GEMM) and the exact verify all happen
+        in-place; no pair row is materialized JVM-side and no candidate
+        crosses the Python boundary.  See ``_near_dup_pairs_grouped_arrow``.
+        ``blocks=None`` derives the block count from the session parallelism
+        (``near_dup_blocks``).
+      * ``"join"`` — the r05 twin kept for cross-checking: BLOCK-PAIR
+        equi-join in whole-stage codegen (n·B sketch rows of ~72 B through
+        the shuffle, n²/2 XOR+POPCNT ops over B(B+1)/2 join groups), then
+        float vectors re-joined for candidates only.  Equality-gated to the
+        arrow path in tests/test_similarity.py.
+
+    ``method="lsh"`` keeps the banded-LSH candidate generator as a second
     cross-checking twin (b=8/r=4 → ~40% candidate fraction on isotropic
     data; candidates bounded by bucket population per band)."""
     if method == "lsh":
@@ -986,9 +1150,16 @@ def cosine_near_dup_pairs(
         return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
     if method != "sketch":
         raise ValueError(f"unknown near-dup method {method!r}; 'sketch' or 'lsh'")
-
+    if max_hamming is None:
+        max_hamming = sketch_near_dup_max_hamming(threshold, planes)
+    if impl == "arrow":
+        return _near_dup_pairs_grouped_arrow(
+            embeddings, threshold, id_col, vec_col, blocks, planes, max_hamming
+        )
+    if impl != "join":
+        raise ValueError(f"unknown near-dup impl {impl!r}; 'arrow' or 'join'")
     cand = sketch_near_dup_candidates(
-        embeddings, threshold, id_col, vec_col, blocks, planes, max_hamming
+        embeddings, threshold, id_col, vec_col, blocks or 8, planes, max_hamming
     )
     return _verify_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
 

@@ -101,6 +101,20 @@ def test_near_dup_sketch_blocking_invariant_and_beats_lsh(spark, emb):
     assert len(sk8) >= len(lsh)
 
 
+def test_near_dup_arrow_impl_equals_join_twin(spark, emb):
+    """r06: the cogrouped-Arrow pair pass (sketch + GEMM hamming + in-place
+    exact verify) must return EXACTLY the join twin's rows — ids AND the
+    double cos_sim values, bit-for-bit (same floor/int64/IEEE arithmetic)."""
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in rows)
+    arrow = key(
+        similarity.cosine_near_dup_pairs(emb, threshold=0.3, impl="arrow").collect()
+    )
+    join = key(
+        similarity.cosine_near_dup_pairs(emb, threshold=0.3, impl="join").collect()
+    )
+    assert arrow == join and len(arrow) > 0
+
+
 def test_ivf_topk_candidates_from_probed_lists(spark, emb):
     """IVF results must rank correctly within the probed lists and approach
     the exact top-k from below (recall ≤ 1, deterministic)."""
