@@ -741,6 +741,7 @@ def ngram_jaccard_pairs(
     threshold_pct: int = 80,
     persist_words: bool = False,
     ngram_n: int = 1,
+    verify: str = "array",
 ) -> DataFrame:
     """Blocked n-gram Jaccard with PREFIX + LENGTH + POSITIONAL filtering:
     results are EXACTLY the pairs with ``100·|A∩B| ≥ t·|A∪B|`` (integer
@@ -786,7 +787,62 @@ def ngram_jaccard_pairs(
         df, text_col, block_cols, threshold_pct, persist_words, ngram_n
     )
 
-    # Exact verify over candidates only (block equality already implied).
+    if verify == "array":
+        # r06 verify: one row per doc carrying its DISTINCT token set as an
+        # array; |A∩B| is a codegen ``array_intersect`` on the joined pair
+        # row.  Replaces the exploded candidate×token join + groupBy (the
+        # explode multiplied every candidate by ~|doc| tokens: ~3·10⁸
+        # shuffled rows at the 50k-doc tier, 35-50 s of the query) with two
+        # joins against the 1-row-per-doc token table — small enough that
+        # AQE broadcasts it, so the candidate frame is never shuffled for
+        # the verify at all.  Counts are identical by construction (both
+        # count the same distinct-token intersection); equality-gated
+        # against the explode twin in tests/test_dedup.py.  n_a/n_b come
+        # from the SAME arrays, which also drops the two ``sizes`` joins.
+        tok = (
+            words(F.col(text_col))
+            if ngram_n <= 1
+            else word_shingles(F.col(text_col), ngram_n)
+        )
+        toks = df.select(
+            "doc_id", F.array_distinct(tok).alias("ws")
+        ).withColumn("n_words", F.size("ws").cast("long"))
+        ta = toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("ws").alias("ws_a"),
+            F.col("n_words").alias("n_a"),
+        )
+        tb = toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("ws").alias("ws_b"),
+            F.col("n_words").alias("n_b"),
+        )
+        # Filter rewritten to reference the (interpreted, per-row-HashSet)
+        # intersect ONCE: 100·I ≥ t·(na+nb−I) ⟺ (100+t)·I ≥ t·(na+nb), all
+        # int64-exact — predicate pushdown substitutes the alias into the
+        # filter, so every extra reference re-evaluates array_intersect.
+        # No terminal orderBy: the driver canonicalizes (rows sorted) before
+        # hashing, and a range sort here SAMPLES its child — re-executing
+        # the whole verify subtree a second time (guide §2.4; measured 2.1×
+        # on the 50k-doc tier, OPTIMIZATION_r06.md).
+        out = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+            )
+            .filter(
+                F.lit(100 + threshold_pct) * F.col("n_inter")
+                >= F.lit(threshold_pct) * (F.col("n_a") + F.col("n_b"))
+            )
+            .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        return out.select("doc_a", "doc_b", "n_inter", "n_union")
+    if verify != "explode":
+        raise ValueError(f"unknown verify {verify!r}; 'array' or 'explode'")
+
+    # Exact verify over candidates only (block equality already implied) —
+    # the pre-r06 explode twin, kept for cross-checking.
     a = dw.select(F.col("doc_id").alias("doc_a"), "w")
     b = dw.select(F.col("doc_id").alias("doc_b"), "w")
     inter = (

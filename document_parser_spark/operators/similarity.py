@@ -1092,12 +1092,15 @@ def _near_dup_pairs_grouped_arrow(
             }
         )
 
-    res = (
+    # No terminal orderBy: the driver canonicalizes (rows sorted) before
+    # hashing, and a range sort here SAMPLES its child — re-executing the
+    # whole GEMM pair pass a second time (guide §2.4; measured ~2× at n=20k,
+    # OPTIMIZATION_r06.md).
+    return (
         lo.groupBy("pk")
         .cogroup(hi.groupBy("pk"))
         .applyInPandas(pairs_fn, f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
     )
-    return res.orderBy("id_a", "id_b")
 
 
 def cosine_near_dup_pairs(

@@ -49,6 +49,27 @@ def test_prefix_filter_equals_exhaustive(docs, threshold):
     assert got == _exhaustive_pairs(threshold)
 
 
+@pytest.mark.parametrize("ngram_n", [1, 3])
+def test_array_verify_equals_explode_twin(docs, ngram_n):
+    """r06: the array_intersect verify (one row per doc, broadcastable token
+    table, single-reference filter) must return EXACTLY the exploded
+    candidate×token join's rows — same pairs, same n_inter/n_union."""
+    key = lambda rows: sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"]) for r in rows
+    )
+    arr = key(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold_pct=50, ngram_n=ngram_n, verify="array"
+        ).collect()
+    )
+    exp = key(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold_pct=50, ngram_n=ngram_n, verify="explode"
+        ).collect()
+    )
+    assert arr == exp
+
+
 def test_hot_word_only_pairs_below_threshold_excluded(docs):
     """Docs 3 and 4 share only 'the' (J well under 50%) — must not pair,
     and exact dup (1,5) must pair with J=1."""
