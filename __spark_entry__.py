@@ -340,7 +340,6 @@ def _q_filter_modes(spark, sf_dir):
             F.col("p_name").endswith("nut").alias("m_ends"),
             F.col("p_name").rlike("^(small|large) (widget|bolt)$").alias("m_regex"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -372,7 +371,6 @@ def _q_fuzzy_pairs(spark, sf_dir):
             lev.cast("long").alias("lev"),
             F.floor(F.lit(1e6) * (F.lit(1.0) - lev / max_len)).alias("sim_e6"),
         )
-        .orderBy("key_a", "key_b")
     )
 
 
@@ -398,7 +396,6 @@ def _q_numeric_predicate(spark, sf_dir):
             s.alias("probe"),
             is_numeric_cell_expr(s).alias("is_numeric"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -431,7 +428,7 @@ def _q_units_predicate(spark, sf_dir):
     ).otherwise(F.col("p_name"))
     return p.select(
         "p_partkey", s.alias("probe"), contains_units_expr(s).alias("has_units")
-    ).orderBy("p_partkey")
+    )
 
 
 _SQL_UNITS_PREDICATE = r"""
@@ -469,7 +466,6 @@ def _q_tpch_q1(spark, sf_dir):
             F.count("*").alias("count_order"),
         )
         .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
     )
     return out
 
@@ -565,7 +561,6 @@ def _q_agg_rollup_ops(spark, sf_dir):
         seg.unionByName(shp)
         .unionByName(dim)
         .unionByName(rol)
-        .orderBy("kind", "key1", "key2")
     )
 
 
@@ -650,7 +645,6 @@ def _q_pivot_returnflag(spark, sf_dir):
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum(dec).cast("double"))
         .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
-        .orderBy("l_returnflag")
     )
 
 
@@ -676,7 +670,6 @@ def _q_key_value_join(spark, sf_dir):
         F.broadcast(keys)
         .join(li, on="l_orderkey")
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -696,7 +689,6 @@ def _q_semi_join_rows(spark, sf_dir):
     return (
         o.join(hit, o.o_orderkey == hit.l_orderkey, "left_semi")
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-        .orderBy("o_orderkey")
     )
 
 
@@ -722,7 +714,6 @@ def _q_topk_per_group(spark, sf_dir):
         o.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "rnk", "o_orderkey")
-        .orderBy("o_custkey", "rnk")
     )
 
 
@@ -761,7 +752,6 @@ def _q_sessionize(spark, sf_dir):
             F.max("session_id").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -801,7 +791,7 @@ def _q_window_ops(spark, sf_dir):
         "event_id",
         F.last(probe, ignorenulls=True).over(w).alias("filled_type"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("run_value"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 _SQL_WINDOW_OPS = """
@@ -1069,7 +1059,7 @@ def _q_simhash(spark, sf_dir):
     # Arrow fast path (zero-shuffle, per-doc fingerprint); the column twin
     # dedup.simhash is equality-gated against it in tests/test_dedup.py
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_arrow(d).orderBy("doc_id")
+    return dedup.simhash_arrow(d)
 
 
 # 60-bit mirror of operators/dedup.py simhash: 15 md5 hex chars → signed-safe
@@ -1122,7 +1112,7 @@ def _q_text_stats(spark, sf_dir):
     redundant same-grain siblings share a query; both column families are
     attested here, one pass over the text)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.text_stats(d).orderBy("doc_id")
+    return text.text_stats(d)
 
 
 _SQL_TEXT_STATS = rf"""
@@ -1145,7 +1135,7 @@ FROM w ORDER BY doc_id
 
 def _q_language_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.language_id(d).orderBy("doc_id")
+    return text.language_id(d)
 
 
 def _stop_sql(lang: str) -> str:
@@ -1180,7 +1170,7 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 
 def _q_repetition_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.repetition_stats(d).orderBy("doc_id")
+    return text.repetition_stats(d)
 
 
 _SQL_REPETITION_STATS = rf"""
@@ -1225,7 +1215,6 @@ def _q_scrub_fingerprints(spark, sf_dir):
     return (
         _scrub_probe_frame(spark, sf_dir)
         .join(text.fingerprints(d, shingle_words=5), "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -1313,7 +1302,7 @@ def _q_doc_chunks(spark, sf_dir):
         "first_word",
         "n_words",
         F.md5("chunk_text").alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 _SQL_DOC_CHUNKS = rf"""
@@ -1342,7 +1331,7 @@ def _q_quality_signals(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     nov = text.bigram_novelty(d, common_df=3)
     clf = text.hash_classifier_score(d)
-    return nov.join(clf, "doc_id").orderBy("doc_id")
+    return nov.join(clf, "doc_id")
 
 
 _SQL_QUALITY_SIGNALS = rf"""
@@ -1452,7 +1441,7 @@ def _q_set_ops(spark, sf_dir):
             F.lit(None).cast("string").alias("attr"),
         )
     )
-    return anti.unionByName(uni).orderBy("op", "key")
+    return anti.unionByName(uni)
 
 
 _SQL_SET_OPS = """
@@ -1526,7 +1515,7 @@ def _q_asof_join(spark, sf_dir):
         ts="ts",
         payload_cols=["mark_id"],
     )
-    return out.select("event_id", "user_id", "asof_mark_id").orderBy("event_id")
+    return out.select("event_id", "user_id", "asof_mark_id")
 
 
 _SQL_ASOF_JOIN = """
@@ -1756,7 +1745,7 @@ def _q_curation_assign(spark, sf_dir):
         F.col("n_tokens").alias("a"),
         F.col("shard_id").alias("b"),
     )
-    return samp.unionByName(pack).orderBy("op", "doc_id")
+    return samp.unionByName(pack)
 
 
 _SQL_CURATION_ASSIGN = rf"""
@@ -1914,7 +1903,6 @@ def _q_ann_sketch(spark, sf_dir):
     return (
         flat.unionByName(comp)
         .unionByName(fidx)
-        .orderBy("branch", "query_id", "rank")
     )
 
 
@@ -2299,7 +2287,7 @@ def _q_merged_cell_spans(spark, sf_dir):
                          "min_row", "max_row", "min_col", "max_col"],
             )
 
-    return table_spans.mapInPandas(op, schema=schema).orderBy("doc_id", "offset", "owner_row", "owner_col")
+    return table_spans.mapInPandas(op, schema=schema)
 
 
 # Golden-dump oracle: the kernel computed the same spans at build time
@@ -2392,7 +2380,7 @@ def _q_ann_baselines(spark, sf_dir):
     lsh = similarity.lsh_bucketed_topk(e, q, k=10).select(
         F.lit("lsh").alias("branch"), *cols
     )
-    return brute.unionByName(lsh).orderBy("branch", "query_id", "rank")
+    return brute.unionByName(lsh)
 
 
 _SQL_ANN_BASELINES = f"""
@@ -2434,7 +2422,7 @@ def _q_minhash_family(spark, sf_dir):
     inc = dedup.minhash_pairs_from_signatures(
         sig_new, sig_all, d, "text", 5, 50
     ).select(F.lit("incremental").alias("branch"), "doc_a", "doc_b", "n_inter", "n_union")
-    return full.unionByName(inc).orderBy("branch", "doc_a", "doc_b")
+    return full.unionByName(inc)
 
 
 _SQL_MINHASH_FAMILY = f"""

@@ -66,7 +66,7 @@ def gopher_gate(
     )
     return stats.filter(keep).select(
         "doc_id", "n_words", "sum_word_len", "stopword_hits", "top_word_count"
-    ).orderBy("doc_id")
+    )
 
 
 def stratified_sample(
@@ -207,7 +207,6 @@ def curate_corpus(
         staged.filter(quality_ok)
         .filter(F.col("lang_pred").isin(*keep_langs))
         .select("doc_id", "n_words", "lang_pred")
-        .orderBy("doc_id")
     )
 
 
@@ -266,7 +265,6 @@ def decontamination_overlap(
         )
         .filter(F.col("n_overlap") > 0)
         .select("doc_id", "n_shingles", "n_overlap")
-        .orderBy("doc_id")
     )
 
 
@@ -318,7 +316,6 @@ def repeated_ngram_spans(
     return (
         sh.join(rep, "window_md5")
         .select("doc_id", "pos", "window_md5")
-        .orderBy("doc_id", "pos", "window_md5")
     )
 
 
@@ -570,5 +567,4 @@ def repeated_passage_intervals(
                 "span_words"
             ),
         )
-        .orderBy("doc_id", "start_pos")
     )

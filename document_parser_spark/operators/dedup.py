@@ -44,7 +44,6 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
-        .orderBy("text_md5")
     )
 
 
@@ -136,12 +135,52 @@ def _verify_jaccard(
     text_col: str,
     shingle_k: int,
     threshold_pct: int,
+    verify: str = "array",
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs only:
     ``100·|A∩B| ≥ t·|A∪B|`` in integer arithmetic.  ``docs`` only needs the
     documents that can appear in ``cand`` — callers doing incremental work
     semi-join it down first so the shingle explode never re-reads the
-    whole corpus."""
+    whole corpus.
+
+    ``verify="array"`` (r06, same rewrite as ngram_jaccard_pairs): the
+    intersection is a codegen ``array_intersect`` over one-row-per-doc
+    distinct-shingle arrays joined to the candidate pairs (AQE broadcasts
+    the doc table when it fits, so candidates are not shuffled for the
+    verify), with the threshold rewritten to reference the intersect once:
+    100·I ≥ t·(na+nb−I) ⟺ (100+t)·I ≥ t·(na+nb).  ``verify="explode"``
+    keeps the exploded candidate×shingle join + groupBy as the
+    cross-checking twin (equality test in tests/test_dedup.py)."""
+    if verify == "array":
+        toks = docs.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        ).withColumn("n_sh", F.size("sh").cast("long"))
+        ta = toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        tb = toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        return (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+            )
+            .filter(
+                F.lit(100 + threshold_pct) * F.col("n_inter")
+                >= F.lit(threshold_pct) * (F.col("n_a") + F.col("n_b"))
+            )
+            .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .select("doc_a", "doc_b", "n_inter", "n_union")
+        )
+    if verify != "explode":
+        raise ValueError(f"unknown verify {verify!r}; 'array' or 'explode'")
     dsh = _doc_shingles(docs, text_col, shingle_k).distinct()
     sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -160,7 +199,6 @@ def _verify_jaccard(
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         .filter(F.lit(100) * F.col("n_inter") >= F.lit(threshold_pct) * F.col("n_union"))
         .select("doc_a", "doc_b", "n_inter", "n_union")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -379,7 +417,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # the final checkpointed e backs `out` lazily — its blocks are reclaimed
     # with the RDD, no explicit unpersist (and unpersisting here would drop
     # the data out from under the returned frame)
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 def duplicate_clusters_propagation(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -440,7 +478,7 @@ def duplicate_clusters_propagation(pairs: DataFrame, max_iter: int = 20) -> Data
             "rounds (component diameter exceeds the bound); raise max_iter or "
             "switch to the large-star/small-star variant"
         )
-    out = labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
     return out
 
 
@@ -487,7 +525,6 @@ def canonical_keep(
             "n_members",
             (F.col("n_members") - F.lit(1).cast("long")).alias("n_dropped"),
         )
-        .orderBy("cluster_id")
     )
 
 
@@ -636,7 +673,6 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -921,5 +957,4 @@ def containment_pairs(
             "inner_windows",
             F.expr("(shared_windows * 100) div inner_windows").alias("containment_pct"),
         )
-        .orderBy("inner_id", "outer_id")
     )

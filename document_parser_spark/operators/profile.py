@@ -81,6 +81,4 @@ def corpus_profile(
             F.col("_c").alias("top_lang_docs"),
         )
     )
-    return (
-        base.join(quant, group_col).join(top, group_col).orderBy(group_col)
-    )
+    return base.join(quant, group_col).join(top, group_col)

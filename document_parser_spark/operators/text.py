@@ -321,7 +321,6 @@ def bigram_novelty(
             ),
             F.count(F.when(F.col("_common") == 1, 1)).alias("n_common_distinct"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -600,7 +599,6 @@ def tfidf_topk(
             "score",
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("doc_id", "rank")
     )
 
 

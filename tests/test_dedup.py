@@ -70,6 +70,22 @@ def test_array_verify_equals_explode_twin(docs, ngram_n):
     assert arr == exp
 
 
+def test_minhash_verify_array_equals_explode_twin(spark):
+    """r06: the shared shingle-Jaccard verify behind minhash_near_dup_pairs
+    must give identical rows through the array_intersect path and the
+    exploded candidate×shingle join."""
+    from document_parser_spark.sources.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    cand = dedup.minhash_candidate_pairs(dedup.minhash_signatures(d, shingle_k=5))
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    arr = key(dedup._verify_jaccard(cand, d, "text", 5, 50, verify="array"))
+    exp = key(dedup._verify_jaccard(cand, d, "text", 5, 50, verify="explode"))
+    assert arr == exp and len(arr) > 0
+
+
 def test_hot_word_only_pairs_below_threshold_excluded(docs):
     """Docs 3 and 4 share only 'the' (J well under 50%) — must not pair,
     and exact dup (1,5) must pair with J=1."""
@@ -383,11 +399,12 @@ def test_repeated_ngram_spans_semantics(spark):
         ],
         "doc_id long, text string",
     )
-    rows = [
+    rows = sorted(
         (r["doc_id"], r["pos"])
         for r in repeated_ngram_spans(df, window_k=3, min_docs=2).collect()
-    ]
+    )
     # 'viral passage here' is window 1 of doc 1 and window 4 of doc 2
+    # (row order is the caller's job since r06 — sorted() here)
     assert rows == [(1, 1), (2, 4)]
 
 
