@@ -187,7 +187,6 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -217,7 +216,6 @@ def brute_force_topk_exact(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -353,7 +351,6 @@ def lsh_bucketed_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -561,7 +558,6 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -653,7 +649,6 @@ def _topm_exact_rerank(
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
