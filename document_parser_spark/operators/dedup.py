@@ -690,31 +690,54 @@ def _ngram_frames(
     tok = (
         words(F.col(text_col))
         if ngram_n <= 1
-        else F.array_distinct(word_shingles(F.col(text_col), ngram_n))
+        else word_shingles(F.col(text_col), ngram_n)
     )
-    dw = df.select("doc_id", *block_cols, F.explode(tok).alias("w")).distinct()
+    # One row per doc with its DISTINCT token array (map-only); the exploded
+    # distinct frame falls out of it without a dedup shuffle.  r06: the old
+    # formulation derived explode+distinct THREE times (dw, dfreq(dw),
+    # sizes(dw)) and ranked prefixes with a row_number window — ~4.5 s of
+    # the candidate stage at the 50k-doc tier was those re-derivations.
+    toks = df.select("doc_id", *block_cols, F.array_distinct(tok).alias("ws"))
+    dw = toks.select("doc_id", *block_cols, F.explode("ws").alias("w"))
     if persist_words:
         from pyspark import StorageLevel
 
         dw = dw.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    sizes = toks.select("doc_id", F.size("ws").cast("long").alias("n_words")).filter(
+        F.col("n_words") > 0
+    )
 
-    # Prefix selection: global (per-block) df order, rarest first.
+    # Prefix selection: global (per-block) df order, rarest first.  Instead
+    # of a per-doc row_number window over the (token ⋈ dfreq) frame, ONE
+    # groupBy collects each doc's (w_df, w) structs, sort_array orders them
+    # (struct order = lexicographic by field: df asc, then w asc — exactly
+    # the window's orderBy), and slice keeps the prefix; posexplode's
+    # position is the in-doc rank the ppjoin positional filter needs.
+    # prefix_len = n - ceil(t*n/100) + 1, all-integer: ceil(x/100) = (x+99) div 100
     dfreq = dw.groupBy(*block_cols, "w").agg(F.count("*").alias("w_df"))
-    order = Window.partitionBy("doc_id").orderBy(F.asc("w_df"), F.asc("w"))
     ranked = (
         dw.join(dfreq, on=[*block_cols, "w"])
-        .withColumn("_r", F.row_number().over(order))
-        .join(sizes, "doc_id")
+        .groupBy("doc_id", *block_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("w_df", "w"))).alias("ord"))
+        .withColumn("n_words", F.size("ord").cast("long"))
+        .withColumn(
+            "pl",
+            F.col("n_words")
+            - F.expr(f"CAST(({threshold_pct} * n_words + 99) DIV 100 AS BIGINT)")
+            + F.lit(1),
+        )
     )
-    # prefix_len = n - ceil(t*n/100) + 1, all-integer: ceil(x/100) = (x+99) div 100
-    prefix_len = (
-        F.col("n_words")
-        - F.expr(f"CAST(({threshold_pct} * n_words + 99) DIV 100 AS BIGINT)")
-        + F.lit(1)
-    )
-    prefix = ranked.filter(F.col("_r") <= prefix_len).select(
-        "doc_id", *block_cols, "w", "_r", "n_words"
+    prefix = ranked.select(
+        "doc_id",
+        *block_cols,
+        "n_words",
+        F.posexplode(F.expr("slice(ord, 1, pl)")).alias("_p0", "_s"),
+    ).select(
+        "doc_id",
+        *block_cols,
+        F.col("_s.w").alias("w"),
+        (F.col("_p0") + 1).alias("_r"),
+        "n_words",
     )
 
     pa = prefix.select(
