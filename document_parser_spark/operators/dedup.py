@@ -951,19 +951,30 @@ def containment_pairs(
     """
     from .text import word_shingles
 
-    w = (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles(F.col(text_col), window_k)).alias("window"),
-        )
-        .select("doc_id", F.md5("window").alias("wmd5"))
-        .distinct()
+    # r06: per-doc array_distinct over the hashed windows IS the distinct
+    # (doc, wmd5) grain, computed map-side — the three consumers (totals,
+    # both join sides) previously each re-derived an explode + dedup
+    # SHUFFLE of the full window stream; now each is a map-only explode.
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), window_k), F.md5)
+        ).alias("wset"),
     )
-    totals = w.groupBy("doc_id").agg(F.count("*").alias("inner_windows"))
+    w = toks.select("doc_id", F.explode("wset").alias("wmd5"))
+    totals = toks.select(
+        "doc_id", F.size("wset").cast("long").alias("inner_windows")
+    ).filter(F.col("inner_windows") > 0)
     a = w.select(F.col("doc_id").alias("inner_id"), "wmd5")
     b = w.select(F.col("doc_id").alias("outer_id"), "wmd5")
+    # SHUFFLE_HASH: both sides are the full window stream (never
+    # broadcastable) and the join is by a high-cardinality hash — the SMJ
+    # planner default pays two full sorts of the stream for nothing
+    # (measured 2.9-3.1 s -> 1.2-1.5 s at the 50k-doc tier, guide §3.1).
+    # Per-partition build memory is one hash partition of the window
+    # stream — the same group SMJ would buffer for a viral window key.
     shared = (
-        a.join(b, "wmd5")
+        a.join(b.hint("SHUFFLE_HASH"), "wmd5")
         .filter(F.col("inner_id") != F.col("outer_id"))
         .groupBy("inner_id", "outer_id")
         .agg(F.count("*").alias("shared_windows"))

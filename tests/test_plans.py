@@ -268,15 +268,18 @@ def test_ngram_jaccard_persist_words_opt_in(spark):
 
 def test_containment_pairs_equi_join_shaped(spark):
     """Containment must stay blocked on the window hash: equi joins only —
-    no cartesian/nested-loop pair generation — with map-side partial aggs
-    on both the totals and the shared-count groupBys."""
+    no cartesian/nested-loop pair generation — with a map-side partial agg
+    on the shared-count groupBy.  r06: totals is a map-only array size (no
+    aggregate at all), and the window-stream self-join is a ShuffledHashJoin
+    (two full sorts of the stream bought nothing — guide §3.1)."""
     from document_parser_spark.operators.dedup import containment_pairs
 
     d = load_table(spark, SF, "documents").select("doc_id", "text")
     plan = plan_of(containment_pairs(d))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("HashAggregate") >= 4, plan  # partial+final × (totals, shared)
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final shared count
+    assert "ShuffledHashJoin" in plan, plan  # the hinted window-stream join
 
 
 def test_hash_classifier_default_is_map_only(spark):
