@@ -297,19 +297,30 @@ def repeated_ngram_spans(
 
     from .text import word_shingles
 
-    sh = docs.select(
+    # r06: hash the window stream ONCE per doc into an array column; the
+    # position stream (posexplode) and the per-doc DISTINCT window stream
+    # (explode of array_distinct — map-side dedup) both fall out of it as
+    # map-only passes, so the repeated-set aggregation needs a plain count
+    # over the distinct (doc, window) grain instead of a two-phase
+    # countDistinct over the full positional stream.
+    warr = docs.select(
         "doc_id",
-        F.posexplode(word_shingles(F.col(text_col), window_k)).alias("pos0", "window"),
+        F.transform(word_shingles(F.col(text_col), window_k), F.md5).alias("warr"),
+    )
+    sh = warr.select(
+        "doc_id",
+        F.posexplode("warr").alias("pos0", "window_md5"),
     ).select(
         "doc_id",
         (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.md5(F.col("window")).alias("window_md5"),
+        "window_md5",
     )
     if persist_windows:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     rep = (
-        sh.groupBy("window_md5")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        warr.select("doc_id", F.explode(F.array_distinct("warr")).alias("window_md5"))
+        .groupBy("window_md5")
+        .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("window_md5")
     )
