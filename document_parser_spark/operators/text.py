@@ -297,30 +297,45 @@ def bigram_novelty(
     shuffles the distinct pairs once instead.  Docs with fewer than two
     words have no bigrams and drop out, exactly like the SQL mirror's
     generate_series producing no rows."""
-    per = (
-        df.select(
-            "doc_id", F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("cnt"))
-    )
+    # r06: the (doc, bigram) pre-aggregation shuffled the full exploded
+    # stream at its distinct grain — and was derived twice (common set +
+    # probe side).  Per-doc bigram ARRAYS make every stream a map-only
+    # projection instead: the distinct grain is explode(array_distinct)
+    # (map-side dedup, no shuffle), the common set is a plain count over
+    # it, and the two per-doc rollups (token grain / distinct grain)
+    # partial-aggregate to ~one row per doc per partition before their
+    # exchanges.  No stream is ever shuffled at the bigram grain.
+    bga = df.select(
+        "doc_id", word_shingles(F.col(text_col), 2).alias("bga")
+    ).filter(F.size("bga") > 0)
+    tok = bga.select("doc_id", F.explode("bga").alias("bigram"))
+    dst = bga.select("doc_id", F.explode(F.array_distinct("bga")).alias("bigram"))
     common = (
-        per.groupBy("bigram")
+        dst.groupBy("bigram")
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") >= common_df)
         .select("bigram", F.lit(1).alias("_common"))
     )
-    probed = per.join(F.broadcast(common), "bigram", "left")
-    return (
-        probed.groupBy("doc_id")
+    tok_roll = (
+        tok.join(F.broadcast(common), "bigram", "left")
+        .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.count("*").alias("n_distinct"),
-            F.sum(F.when(F.col("_common") == 1, F.col("cnt")).otherwise(0)).alias(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("_common") == 1, 1).otherwise(0)).cast("long").alias(
                 "n_common"
             ),
+        )
+    )
+    dst_roll = (
+        dst.join(F.broadcast(common), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
             F.count(F.when(F.col("_common") == 1, 1)).alias("n_common_distinct"),
         )
+    )
+    return tok_roll.join(dst_roll, "doc_id").select(
+        "doc_id", "n_bigrams", "n_distinct", "n_common", "n_common_distinct"
     )
 
 
