@@ -498,14 +498,66 @@ def hash_classifier_score_column_twin(
     ).withColumn("clf_ok", F.col("clf_score") >= 0)
 
 
+_REP_STATS_UDF = None
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: top-word fraction and
     top-bigram fraction as exact integers (numerator/denominator pairs — the
     training pipeline filters on e.g. ``top_word_count * 10 > n_words * 3``).
 
-    Shape: two explode → partial-aggregated groupBy passes joined on doc_id;
-    no window over the word stream, no per-row maps — the 100 TB-safe way to
-    take a per-doc mode."""
+    r06: every output is derivable from the doc's own token stream, so the
+    whole operator is ONE Arrow map pass (per-doc Counter — the pinned
+    "per-document computations beat explode+groupBy" lesson): zero
+    shuffles, no joins, where the explode twin paid two exploded
+    two-level aggregations plus two left joins.  The split is the
+    byte-identical Java-\\s twin used by word_shingles; the exploded shape
+    stays as ``repetition_stats_column_twin`` with an equality gate in
+    tests/test_dedup.py."""
+    global _REP_STATS_UDF, _JAVA_WS_RX
+    if _JAVA_WS_RX is None:
+        import re as _re
+
+        _JAVA_WS_RX = _re.compile("[ \t\n\x0b\f\r]+")
+    if _REP_STATS_UDF is None:
+        from collections import Counter
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        fields = [
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            "n_bigrams",
+            "top_bigram_count",
+        ]
+
+        @F.pandas_udf(StructType([StructField(f, LongType()) for f in fields]))
+        def rep_udf(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for t in texts:
+                ws = [w for w in _JAVA_WS_RX.split((t or "").strip(" ")) if w]
+                if not ws:
+                    rows.append((0, 0, 0, 0, 0))
+                    continue
+                wc = Counter(ws)
+                if len(ws) > 1:
+                    bc = Counter(zip(ws, ws[1:]))
+                    nb, tb = len(ws) - 1, max(bc.values())
+                else:
+                    nb, tb = 0, 0
+                rows.append((len(ws), len(wc), max(wc.values()), nb, tb))
+            return pd.DataFrame(rows, columns=fields)
+
+        _REP_STATS_UDF = rep_udf
+    return df.select("doc_id", _REP_STATS_UDF(F.col(text_col)).alias("_r")).select(
+        "doc_id", "_r.*"
+    )
+
+
+def repetition_stats_column_twin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The exploded two-level-aggregation formulation — kept ONLY as the
+    equality cross-check for the Arrow pass (zero-shuffle map pass above)."""
     t = F.col(text_col)
     unigrams = (
         df.select("doc_id", F.explode(words(t)).alias("w"))

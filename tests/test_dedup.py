@@ -70,6 +70,28 @@ def test_array_verify_equals_explode_twin(docs, ngram_n):
     assert arr == exp
 
 
+def test_repetition_stats_arrow_equals_column_twin(spark):
+    """r06: the one-pass Arrow repetition stats must equal the exploded
+    two-level-aggregation twin, including 0-word/1-word/null-text edges."""
+    from document_parser_spark.operators import text as text_ops
+    from document_parser_spark.sources.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(text_ops.repetition_stats(d)) == key(
+        text_ops.repetition_stats_column_twin(d)
+    )
+    edges = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one"), (4, "a a b"), (5, "  x \t y\ny  x x  ")],
+        "doc_id long, text string",
+    )
+    assert key(text_ops.repetition_stats(edges)) == key(
+        text_ops.repetition_stats_column_twin(edges)
+    )
+
+
 def test_minhash_verify_array_equals_explode_twin(spark):
     """r06: the shared shingle-Jaccard verify behind minhash_near_dup_pairs
     must give identical rows through the array_intersect path and the
