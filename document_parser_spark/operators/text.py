@@ -643,9 +643,17 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    w = df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+    # r06: document frequency from the map-side-distinct per-doc word set
+    # (explode of array_distinct — no dedup shuffle, plain count instead of
+    # a two-phase countDistinct over the full token stream).
+    wa = df.select("doc_id", words(F.col(text_col)).alias("wa"))
+    w = wa.select("doc_id", F.explode("wa").alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = (
+        wa.select(F.explode(F.array_distinct("wa")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
     total = df.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "word")
