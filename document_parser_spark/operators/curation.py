@@ -190,9 +190,14 @@ def curate_corpus(
     t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))  # not regexp_replace: r04 measured 27x
+    # r06: score language through the byte-equal Arrow twin (the
+    # interpreted HOF aggregate measured 6x slower, r04); its struct also
+    # carries the word count, so the text is lowered/split once per row.
+    from .text import language_words_arrow
+
     staged = (
-        canonical.withColumn("n_words", F.size(words(t)).cast("long"))
-        .withColumn("_best", language_best_struct(t))
+        canonical.withColumn("_best", language_words_arrow(t))
+        .withColumn("n_words", F.col("_best.n_words"))
         .withColumn(
             "lang_pred",
             F.when(F.col("_best.hits") > 0, F.col("_best.lang")).otherwise(F.lit("und")),

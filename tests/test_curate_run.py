@@ -217,6 +217,16 @@ def test_gate_arrow_equals_column(spark):
     assert a == b
     assert len(a) > 50  # the corpus actually exercises the gate
 
+    # r06: language_id (now Arrow-scored) must equal its HOF column twin on
+    # the same adversarial corpus — hits AND prediction, every row kept
+    from document_parser_spark.operators import text as text_ops
+
+    la = sorted(tuple(r) for r in text_ops.language_id(corpus).collect())
+    lb = sorted(
+        tuple(r) for r in text_ops.language_id_column_twin(corpus).collect()
+    )
+    assert la == lb
+
 
 def test_content_bucket_groups_identical_texts(spark):
     df = spark.createDataFrame(
