@@ -253,13 +253,15 @@ def decontamination_overlap(
         .withColumn("_hit", F.lit(1))
     )
     bench_ids = benchmark.select("doc_id").distinct()
-    per = (
-        docs.join(bench_ids, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-        )
-        .distinct()
+    # r06: the distinct (doc, shingle) grain via per-doc array_distinct —
+    # deduped map-side inside each row, so the corpus shingle stream is
+    # never shuffled; the only corpus-sized shuffle left is the per-doc
+    # rollup, which partial-aggregates to ~a row per doc first.
+    per = docs.join(bench_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
+            "shingle"
+        ),
     )
     probed = per.join(F.broadcast(bench_sh), "shingle", "left")
     return (

@@ -633,6 +633,17 @@ def simhash_candidate_pairs(
     fingerprint into k+1 chunks — any pair within hamming k agrees on ≥1
     chunk → bucket join, never all-pairs.  Exposed separately so the growth
     study can measure candidate volume vs corpus size."""
+    return _simhash_candidates_raw(sim, max_hamming, bits).select(
+        "doc_a", "doc_b", "sim_a", "sim_b"
+    ).distinct()
+
+
+def _simhash_candidates_raw(
+    sim: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """Chunk-bucket collision pairs WITH multiplicity (a pair appears once
+    per agreeing chunk) — callers dedup after their own pair-level filters
+    so the distinct shuffle carries the fewest, narrowest rows."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     keyed = sim.select(
@@ -649,7 +660,6 @@ def simhash_candidate_pairs(
         a.join(b, on=["chunk", "chunk_val"], how="inner")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
     )
 
 
@@ -667,12 +677,17 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = SIMHASH
     both 2k and 20k — output-bound, not candidate-bound), but for CONTENT
     dedup of short natural text use minhash or ngram_jaccard(ngram_n≥3);
     simhash's niche is long documents / template detection."""
-    cand = simhash_candidate_pairs(sim, max_hamming, bits)
+    # r06: hamming-filter the RAW collision pairs (one row per agreeing
+    # chunk) before deduplicating — the distinct then shuffles only
+    # qualifying (doc_a, doc_b, hamming) rows instead of every candidate
+    # with both 8-byte fingerprints attached.
+    cand = _simhash_candidates_raw(sim, max_hamming, bits)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
