@@ -389,9 +389,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # ONE driver action per round (r06): both edge sets are distinct,
+        # so "unchanged" is an empty symmetric difference — previously this
+        # was three jobs per round (two counts plus a one-sided exceptAll).
         same = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
+            new_e.exceptAll(e)
+            .union(e.exceptAll(new_e))
+            .limit(1)
+            .count()
+            == 0
         )
         e = new_e
         if same:
