@@ -84,17 +84,35 @@ def is_separator_row(stripped: str) -> bool:
     return stripped.startswith("|") and stripped.endswith("|") and "-" in stripped
 
 
-def split_row(line: str) -> List[str]:
-    """``'| a | b |'`` → ``['a', 'b']`` with per-cell script normalization.
+from functools import lru_cache
 
-    Parity: use_marker_converter.py:183-191.
-    """
+
+@lru_cache(maxsize=1 << 17)
+def _norm_cell(cell: str) -> str:
+    """strip + script-normalize one raw cell, memoized: table cells repeat
+    heavily (numbers, units, empty padding), and a dict probe beats the
+    strip+translate pass (r06 — same rationale as the clean_cell cache)."""
+    return normalize_scripts(cell.strip())
+
+
+@lru_cache(maxsize=1 << 16)
+def _split_row_cached(line: str) -> tuple:
     body = line.strip()
     if body.startswith("|"):
         body = body[1:]
     if body.endswith("|"):
         body = body[:-1]
-    return [normalize_scripts(cell.strip()) for cell in body.split("|")]
+    return tuple(map(_norm_cell, body.split("|")))
+
+
+def split_row(line: str) -> List[str]:
+    """``'| a | b |'`` → ``['a', 'b']`` with per-cell script normalization.
+
+    Parity: use_marker_converter.py:183-191.  Memoized on the whole line
+    (r06): table rows repeat across a corpus, so one dict probe replaces
+    the strip/split/normalize pass; the tuple→list copy keeps callers free
+    to own their row lists."""
+    return list(_split_row_cached(line))
 
 
 def parse_table_block(block: List[str]) -> Optional[Dict[str, Any]]:

@@ -288,17 +288,34 @@ def extract_horizontal_columns(raw: Dict[str, Any], table_index: int, source: st
     c_lvl: List[List[str]] = []
     c_text: List[str] = []
     c_num: List[bool] = []
-    for r, row in enumerate(data_rows):
-        k = len(row)
-        if k > ncol:
-            k = ncol
-            row = row[:ncol]
-        c_row.extend([r] * k)
-        c_col.extend(col_range[:k])
-        c_hdr.extend(col_paths[:k])
-        c_lvl.extend(col_levels[:k])
-        c_text.extend(map(clean_cell, row))
-        c_num.extend(map(is_numeric_cell, row))
+    nd = len(data_rows)
+    if all(len(row) == ncol for row in data_rows):
+        # uniform-width fast path (the common case — parse_table_block pads
+        # data rows to the header width): one C-speed list repetition per
+        # column stream instead of 6 extends per row (r06: the per-row
+        # extends were ~11% of whole-document parse time)
+        from itertools import chain
+
+        col_list = list(col_range)
+        c_col = col_list * nd
+        c_hdr = col_paths * nd
+        c_lvl = col_levels * nd
+        c_row = [r for r in range(nd) for _ in col_list]
+        flat = list(chain.from_iterable(data_rows))
+        c_text = list(map(clean_cell, flat))
+        c_num = list(map(is_numeric_cell, flat))
+    else:
+        for r, row in enumerate(data_rows):
+            k = len(row)
+            if k > ncol:
+                k = ncol
+                row = row[:ncol]
+            c_row.extend([r] * k)
+            c_col.extend(col_range[:k])
+            c_hdr.extend(col_paths[:k])
+            c_lvl.extend(col_levels[:k])
+            c_text.extend(map(clean_cell, row))
+            c_num.extend(map(is_numeric_cell, row))
 
     h_row: List[int] = []
     h_col: List[int] = []
