@@ -314,45 +314,115 @@ def bigram_novelty(
     shuffles the distinct pairs once instead.  Docs with fewer than two
     words have no bigrams and drop out, exactly like the SQL mirror's
     generate_series producing no rows."""
-    # r06: the (doc, bigram) pre-aggregation shuffled the full exploded
-    # stream at its distinct grain — and was derived twice (common set +
-    # probe side).  Per-doc bigram ARRAYS make every stream a map-only
-    # projection instead: the distinct grain is explode(array_distinct)
-    # (map-side dedup, no shuffle), the common set is a plain count over
-    # it, and the two per-doc rollups (token grain / distinct grain)
-    # partial-aggregate to ~one row per doc per partition before their
-    # exchanges.  No stream is ever shuffled at the bigram grain.
-    bga = df.select(
-        "doc_id", word_shingles(F.col(text_col), 2).alias("bga")
-    ).filter(F.size("bga") > 0)
-    tok = bga.select("doc_id", F.explode("bga").alias("bigram"))
-    dst = bga.select("doc_id", F.explode(F.array_distinct("bga")).alias("bigram"))
+    # r06: ONE Arrow pass (per-doc Counter) emits the (bigram, cnt) pairs at
+    # the distinct grain map-side — the pre-aggregation that used to shuffle
+    # the full exploded bigram stream.  Both consumers (common-set count and
+    # the broadcast probe + per-doc rollup) read that map-only stream, and
+    # every output falls out of the ONE rollup (n_bigrams = Σcnt,
+    # n_distinct = row count at the distinct grain), so there is no second
+    # rollup and no doc_id join.  The exploded-join formulation stays as
+    # ``bigram_novelty_exploded_twin`` (equality test in tests/test_dedup.py).
+    per = df.select(
+        "doc_id", F.explode(_bigram_counts_arrow(F.col(text_col))).alias("bc")
+    ).select("doc_id", F.col("bc.bg").alias("bigram"), F.col("bc.cnt").alias("cnt"))
     common = (
-        dst.groupBy("bigram")
+        per.groupBy("bigram")
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") >= common_df)
         .select("bigram", F.lit(1).alias("_common"))
     )
-    tok_roll = (
-        tok.join(F.broadcast(common), "bigram", "left")
-        .groupBy("doc_id")
+    probed = per.join(F.broadcast(common), "bigram", "left")
+    return (
+        probed.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.when(F.col("_common") == 1, 1).otherwise(0)).cast("long").alias(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("_common") == 1, F.col("cnt")).otherwise(0)).alias(
                 "n_common"
             ),
-        )
-    )
-    dst_roll = (
-        dst.join(F.broadcast(common), "bigram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct"),
             F.count(F.when(F.col("_common") == 1, 1)).alias("n_common_distinct"),
         )
     )
-    return tok_roll.join(dst_roll, "doc_id").select(
-        "doc_id", "n_bigrams", "n_distinct", "n_common", "n_common_distinct"
+
+
+_BIGRAM_COUNTS_UDF = None
+
+
+def _bigram_counts_arrow(col: Column) -> Column:
+    """array<struct<bg:string, cnt:long>> — the doc's DISTINCT word bigrams
+    with their occurrence counts, one linear pass (byte-identical Java-\\s
+    split twin; bigram text joined by a single space exactly like
+    word_shingles(k=2)).  Empty array when the doc has < 2 words."""
+    global _BIGRAM_COUNTS_UDF, _JAVA_WS_RX
+    if _JAVA_WS_RX is None:
+        import re as _re
+
+        _JAVA_WS_RX = _re.compile("[ \t\n\x0b\f\r]+")
+    if _BIGRAM_COUNTS_UDF is None:
+        from collections import Counter
+
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_type = ArrayType(
+            StructType(
+                [StructField("bg", StringType()), StructField("cnt", LongType())]
+            )
+        )
+
+        @F.pandas_udf(out_type)
+        def bigram_counts_udf(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                ws = [w for w in _JAVA_WS_RX.split((t or "").strip(" ")) if w]
+                if len(ws) < 2:
+                    out.append([])
+                    continue
+                c = Counter(
+                    a + " " + b for a, b in zip(ws, ws[1:])
+                )
+                out.append(list(c.items()))
+            return pd.Series(out)
+
+        _BIGRAM_COUNTS_UDF = bigram_counts_udf
+    return _BIGRAM_COUNTS_UDF(col)
+
+
+def bigram_novelty_exploded_twin(
+    df: DataFrame, text_col: str = "text", common_df: int = 3
+) -> DataFrame:
+    """The exploded-stream formulation (explode → (doc, bigram) groupBy →
+    common set → probe → rollup) — kept ONLY as the equality cross-check
+    for the Arrow-counted pass."""
+    per = (
+        df.select(
+            "doc_id", F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    common = (
+        per.groupBy("bigram")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") >= common_df)
+        .select("bigram", F.lit(1).alias("_common"))
+    )
+    probed = per.join(F.broadcast(common), "bigram", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("_common") == 1, F.col("cnt")).otherwise(0)).alias(
+                "n_common"
+            ),
+            F.count(F.when(F.col("_common") == 1, 1)).alias("n_common_distinct"),
+        )
     )
 
 

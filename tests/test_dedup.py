@@ -92,6 +92,28 @@ def test_repetition_stats_arrow_equals_column_twin(spark):
     )
 
 
+def test_bigram_novelty_arrow_equals_exploded_twin(spark):
+    """r06: the Arrow-counted (bigram, cnt) novelty pass must equal the
+    exploded-stream twin, including <2-word and null-text drop-outs."""
+    from document_parser_spark.operators import text as text_ops
+    from document_parser_spark.sources.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(text_ops.bigram_novelty(d, common_df=3)) == key(
+        text_ops.bigram_novelty_exploded_twin(d, common_df=3)
+    )
+    edges = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one"), (4, "a b a b a"), (5, " x  y\tx y ")],
+        "doc_id long, text string",
+    )
+    assert key(text_ops.bigram_novelty(edges, common_df=2)) == key(
+        text_ops.bigram_novelty_exploded_twin(edges, common_df=2)
+    )
+
+
 def test_minhash_verify_array_equals_explode_twin(spark):
     """r06: the shared shingle-Jaccard verify behind minhash_near_dup_pairs
     must give identical rows through the array_intersect path and the
