@@ -314,10 +314,12 @@ def _large_star(e: DataFrame) -> DataFrame:
     neighborhood materialization — one groupBy(min) joined back to the
     directed edge list (no collect_set, so a 10^7-degree hub node costs a
     wide aggregation, not a driver-sized array)."""
+    # no dedup shuffle on d (r06): the loop maintains e DISTINCT and
+    # oriented a > b, so the two union branches emit disjoint row sets
+    # (u > v vs u < v) and d is distinct by construction
     d = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .distinct()
     )
     m = (
         d.groupBy("u")
@@ -336,9 +338,11 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round: direct each edge max→min, then every node connects
     its smaller neighbors (and itself) to the minimum among them."""
+    # no dedup shuffle on d (r06): e is distinct and already oriented
+    # a > b, so greatest/least is the identity and d inherits distinctness
     d = e.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-    ).distinct()
+    )
     m = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
     children = d.join(m, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
     centers = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
